@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-device sharding tests run on a virtual CPU mesh (no pod needed),
+per the framework's test strategy (SURVEY.md §4): sharded results must
+match single-device results exactly.
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The execution environment's sitecustomize force-registers a TPU backend
+# and resets jax_platforms; override it AFTER import so tests run on the
+# virtual 8-device CPU platform regardless.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+
+    return np.random.default_rng(42)
