@@ -1,0 +1,228 @@
+"""Emission (observation) models as pure log-prob functions.
+
+Every emission model here is a pure function ``(params, obs) → (B, T, K)
+log-probs`` feeding the shared DP kernels (SURVEY.md §7 principle 2).
+
+TPU design note: the reference scores Gaussians by materializing a
+``(B, T, S, C, D)`` difference tensor (``mixture_gaussian.py:175``,
+``hmm_layer.py:270-323``) — a pure HBM-bandwidth burn. Here the quadratic
+form is expanded so scoring becomes two ``(B·T, D) × (D, S·C)`` matmuls::
+
+    (x-μ)ᵀ diag(1/σ²) (x-μ) = x²·(1/σ²) − 2x·(μ/σ²) + Σ μ²/σ²
+
+which XLA tiles straight onto the MXU; the per-state/component terms are
+rank-1 corrections. Full covariance goes through precomputed inverse
+Cholesky factors with time-chunked evaluation to bound memory.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core.semiring import logsumexp
+
+__all__ = [
+    "diag_gaussian_log_probs",
+    "spherical_gaussian_log_probs",
+    "full_gaussian_log_probs",
+    "gaussian_log_probs",
+    "gmm_log_probs",
+    "gmm_component_log_probs",
+    "tril_from_flat",
+    "flat_dim",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Single Gaussian per state (GaussianHMMLayer emissions, hmm_layer.py:270-323)
+# ---------------------------------------------------------------------------
+
+def diag_gaussian_log_probs(
+    obs: jax.Array, means: jax.Array, log_vars: jax.Array
+) -> jax.Array:
+    """Diagonal-covariance Gaussian scores.
+
+    Args:
+        obs: ``(B, T, D)``; means: ``(..., K, D)``; log_vars: ``(..., K, D)``.
+    Returns:
+        ``(B, T, K)`` log N(obs; mean_k, diag(exp(log_vars_k))).
+    """
+    D = obs.shape[-1]
+    inv_var = jnp.exp(-log_vars)  # (K, D)
+    # Quadratic-form expansion → MXU matmuls.
+    xx = jnp.einsum("btd,kd->btk", obs * obs, inv_var)
+    xm = jnp.einsum("btd,kd->btk", obs, means * inv_var)
+    mm = jnp.sum(means * means * inv_var, axis=-1)  # (K,)
+    log_norm = -0.5 * (D * _LOG_2PI + jnp.sum(log_vars, axis=-1))
+    return log_norm - 0.5 * (xx - 2.0 * xm + mm)
+
+
+def spherical_gaussian_log_probs(
+    obs: jax.Array, means: jax.Array, log_vars: jax.Array
+) -> jax.Array:
+    """Isotropic Gaussian scores. ``log_vars`` has shape ``(K,)`` (σ² shared
+    over dimensions)."""
+    D = obs.shape[-1]
+    inv_var = jnp.exp(-log_vars)  # (K,)
+    x2 = jnp.sum(obs * obs, axis=-1)  # (B, T)
+    xm = jnp.einsum("btd,kd->btk", obs, means)
+    m2 = jnp.sum(means * means, axis=-1)  # (K,)
+    mahal = (x2[..., None] - 2.0 * xm + m2) * inv_var
+    log_norm = -0.5 * D * (_LOG_2PI + log_vars)
+    return log_norm - 0.5 * mahal
+
+
+def full_gaussian_log_probs(
+    obs: jax.Array,
+    means: jax.Array,
+    chol: jax.Array,
+    time_chunk: int = 128,
+) -> jax.Array:
+    """Full-covariance Gaussian scores via inverse Cholesky factors.
+
+    A real full-covariance path — the reference's GaussianHMMLayer silently
+    falls back to a diagonal approximation (``hmm_layer.py:311-319``); we
+    do not reproduce that bug.
+
+    Args:
+        obs: ``(B, T, D)``; means ``(K, D)``; chol ``(K, D, D)`` lower
+            triangular with positive diagonal.
+        time_chunk: time-block size for bounding the ``(B, τ, K, D)``
+            whitened intermediate in memory.
+    Returns: ``(B, T, K)``.
+    """
+    B, T, D = obs.shape
+    K = means.shape[0]
+    eye = jnp.eye(D, dtype=obs.dtype)
+    inv_chol = jax.vmap(
+        lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    )(chol)  # (K, D, D): L^{-1}
+    logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    log_norm = -0.5 * D * _LOG_2PI - logdet  # (K,)
+    wm = jnp.einsum("ked,kd->ke", inv_chol, means)  # L^{-1} μ, (K, D)
+
+    pad = (-T) % time_chunk
+    obs_p = jnp.pad(obs, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = obs_p.shape[1] // time_chunk
+    chunks = obs_p.reshape(B, n_chunks, time_chunk, D).swapaxes(0, 1)
+
+    def score_chunk(x):
+        # z = L^{-1} x : (B, τ, K, D) — bounded by the chunk size.
+        z = jnp.einsum("btd,ked->btke", x, inv_chol)
+        mahal = jnp.sum((z - wm[None, None]) ** 2, axis=-1)
+        return log_norm[None, None] - 0.5 * mahal
+
+    out = jax.lax.map(score_chunk, chunks)  # (n_chunks, B, τ, K)
+    out = out.swapaxes(0, 1).reshape(B, n_chunks * time_chunk, K)
+    return out[:, :T]
+
+
+def gaussian_log_probs(
+    obs: jax.Array,
+    means: jax.Array,
+    log_scales: jax.Array,
+    covariance_type: str = "diag",
+) -> jax.Array:
+    """Dispatch matching GaussianHMMLayer's parameterization: ``log_scales``
+    is the log *standard deviation* (``hmm_layer.py:270-323`` uses
+    ``log_var = 2 * log_scales``)."""
+    if covariance_type == "diag":
+        return diag_gaussian_log_probs(obs, means, 2.0 * log_scales)
+    if covariance_type == "spherical":
+        return spherical_gaussian_log_probs(obs, means, 2.0 * log_scales[..., 0])
+    if covariance_type == "full":
+        # log_scales: (K, D, D) raw; build a valid Cholesky factor.
+        tril = jnp.tril(log_scales, k=-1)
+        diag = jnp.exp(jnp.diagonal(log_scales, axis1=-2, axis2=-1))
+        chol = tril + jax.vmap(jnp.diag)(diag)
+        return full_gaussian_log_probs(obs, means, chol)
+    raise ValueError(f"Unknown covariance_type: {covariance_type}")
+
+
+# ---------------------------------------------------------------------------
+# GMM emissions (MixtureGaussianHMMLayer, mixture_gaussian.py:157-288)
+# ---------------------------------------------------------------------------
+
+def flat_dim(d: int) -> int:
+    """Size of the flattened lower triangle of a (d, d) matrix."""
+    return d * (d + 1) // 2
+
+
+def tril_from_flat(flat: jax.Array, d: int) -> jax.Array:
+    """Unpack ``(..., d(d+1)/2)`` → lower-triangular ``(..., d, d)`` with
+    softplus-positive diagonal (guaranteed PD covariance — the reference's
+    raw-diagonal Cholesky params (``mixture_gaussian.py:271-288``) can go
+    non-positive under training)."""
+    rows, cols = jnp.tril_indices(d)
+    L = jnp.zeros((*flat.shape[:-1], d, d), flat.dtype)
+    L = L.at[..., rows, cols].set(flat)
+    diag = jax.nn.softplus(jnp.diagonal(L, axis1=-2, axis2=-1)) + 1e-4
+    L = jnp.tril(L, k=-1)
+    return L + diag[..., None] * jnp.eye(d, dtype=flat.dtype)
+
+
+def gmm_component_log_probs(
+    obs: jax.Array,
+    means: jax.Array,
+    cov_params: jax.Array,
+    covariance_type: str = "diag",
+    time_chunk: int = 128,
+) -> jax.Array:
+    """Per-component Gaussian scores ``(B, T, S, C)``.
+
+    means: ``(S, C, D)``. cov_params by type:
+    ``diag`` → log-variances ``(S, C, D)``; ``full`` → flattened Cholesky
+    ``(S, C, D(D+1)/2)``; ``tied`` → shared log-variances ``(D,)``;
+    ``spherical`` → log-variance ``(S, C)``.
+    """
+    B, T, D = obs.shape
+    S, C, _ = means.shape
+
+    if covariance_type == "diag":
+        m2 = means.reshape(S * C, D)
+        lv2 = cov_params.reshape(S * C, D)
+        return diag_gaussian_log_probs(obs, m2, lv2).reshape(B, T, S, C)
+
+    if covariance_type == "tied":
+        # One diagonal covariance shared across all states/components.
+        m2 = means.reshape(S * C, D)
+        lv2 = jnp.broadcast_to(cov_params, (S * C, D))
+        return diag_gaussian_log_probs(obs, m2, lv2).reshape(B, T, S, C)
+
+    if covariance_type == "spherical":
+        m2 = means.reshape(S * C, D)
+        lv2 = cov_params.reshape(S * C)
+        return spherical_gaussian_log_probs(obs, m2, lv2).reshape(B, T, S, C)
+
+    if covariance_type == "full":
+        chol = tril_from_flat(cov_params.reshape(S * C, -1), D)
+        out = full_gaussian_log_probs(
+            obs, means.reshape(S * C, D), chol, time_chunk=time_chunk
+        )
+        return out.reshape(B, T, S, C)
+
+    raise ValueError(f"Unknown covariance_type: {covariance_type}")
+
+
+def gmm_log_probs(
+    obs: jax.Array,
+    means: jax.Array,
+    cov_params: jax.Array,
+    mixture_logits: jax.Array,
+    covariance_type: str = "diag",
+    time_chunk: int = 128,
+) -> jax.Array:
+    """Mixture-marginalized state scores ``(B, T, S)``:
+    ``logsumexp_c(log w_{s,c} + log N_c(x))`` (``mixture_gaussian.py:192-196``).
+    """
+    comp = gmm_component_log_probs(
+        obs, means, cov_params, covariance_type, time_chunk
+    )
+    log_w = jax.nn.log_softmax(mixture_logits, axis=-1)  # (S, C)
+    return logsumexp(comp + log_w[None, None], axis=-1)

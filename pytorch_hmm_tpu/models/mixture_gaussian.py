@@ -1,0 +1,265 @@
+"""MixtureGaussianHMMLayer — GMM-HMM acoustic model (+ EM training).
+
+Parity target: reference ``mixture_gaussian.py:20-382`` (K-state,
+C-component GMM emissions with diag/full/tied/spherical covariances,
+learnable or fixed left-to-right transitions, batched Viterbi decode).
+
+TPU-first differences:
+
+* emission scoring is matmul-form (see ``emissions.py``) — no
+  ``(B, T, S, C, D)`` broadcast (reference ``mixture_gaussian.py:175``);
+* decoding/likelihood run on the shared ``core`` scan kernels instead of a
+  private Viterbi (``mixture_gaussian.py:290-338``);
+* full-covariance Cholesky diagonals are softplus-positive (always PD);
+* a closed-form Baum-Welch ``em_step`` is provided — the reference has no
+  EM at all, but the TPU baseline (BASELINE.json config 2) requires it;
+* no ``max_sequence_length`` warning: long sequences are handled by
+  chunked/sharded scans, not capped (SURVEY.md §5 long-context).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .. import core
+from ..core.semiring import logsumexp, safe_log
+from ..emissions import flat_dim, gmm_component_log_probs, tril_from_flat
+from .common import Buffer, TrainMode
+
+__all__ = ["MixtureGaussianHMMLayer"]
+
+
+def _l2r_fixed(num_states: int) -> jax.Array:
+    """Reference's fixed decode topology: 0.8 self-loop / 0.2 forward
+    (``mixture_gaussian.py:119-135``)."""
+    eye = jnp.eye(num_states)
+    nxt = jnp.eye(num_states, num_states, 1)
+    p = 0.8 * eye + 0.2 * nxt
+    return p.at[-1, -1].set(1.0)
+
+
+class MixtureGaussianHMMLayer(TrainMode):
+    """GMM-HMM with 4 covariance families and EM / gradient training."""
+
+    def __init__(
+        self,
+        num_states: int,
+        feature_dim: int,
+        num_components: int = 3,
+        covariance_type: str = "diag",
+        learnable_transitions: bool = True,
+        max_sequence_length: int = 10000,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        rngs = rngs or nnx.Rngs(0)
+        self.num_states = num_states
+        self.feature_dim = feature_dim
+        self.num_components = num_components
+        self.covariance_type = covariance_type
+        self.learnable_transitions = learnable_transitions
+        self.max_sequence_length = max_sequence_length
+        self.eps = 1e-8
+        self.log_eps = math.log(self.eps)
+        self._training = True
+
+        S, C, D = num_states, num_components, feature_dim
+        if learnable_transitions:
+            self.transition_logits = nnx.Param(
+                jax.random.normal(rngs.params(), (S, S)) * 0.1
+            )
+        else:
+            self.transition_matrix = Buffer(_l2r_fixed(S))
+
+        self.mixture_weights_logits = nnx.Param(
+            jax.random.normal(rngs.params(), (S, C)) * 0.1
+        )
+        gain = math.sqrt(2.0 / D)
+        self.means = nnx.Param(
+            jax.random.normal(rngs.params(), (S, C, D)) * gain
+        )
+
+        if covariance_type in ("diag",):
+            self.cov_params = nnx.Param(jnp.zeros((S, C, D)))
+        elif covariance_type == "full":
+            flat = jnp.zeros((S, C, flat_dim(D)))
+            rows = jnp.asarray([i * (i + 1) // 2 + i for i in range(D)])
+            # softplus(0.54) ≈ 1.0 → unit initial variances.
+            flat = flat.at[..., rows].set(0.5413)
+            self.cov_params = nnx.Param(flat)
+        elif covariance_type == "tied":
+            self.cov_params = nnx.Param(jnp.zeros((D,)))
+        elif covariance_type == "spherical":
+            self.cov_params = nnx.Param(jnp.zeros((S, C)))
+        else:
+            raise ValueError(f"Unknown covariance_type: {covariance_type}")
+
+    # -- parameter views ------------------------------------------------------
+    def get_transition_matrix(self) -> jax.Array:
+        if self.learnable_transitions:
+            return jax.nn.softmax(self.transition_logits[...], axis=-1)
+        return self.transition_matrix[...]
+
+    def _log_a(self) -> jax.Array:
+        if self.learnable_transitions:
+            return jax.nn.log_softmax(self.transition_logits[...], axis=-1)
+        return safe_log(self.transition_matrix[...])
+
+    def _log_pi(self) -> jax.Array:
+        # Reference decodes with a uniform prior (mixture_gaussian.py:307).
+        return jnp.full((self.num_states,), -math.log(self.num_states))
+
+    # -- emissions --------------------------------------------------------------
+    def get_component_log_probs(self, observations: jax.Array) -> jax.Array:
+        """Per-component scores ``(B, T, S, C)`` (before mixture weights)."""
+        return gmm_component_log_probs(
+            observations, self.means[...], self.cov_params[...],
+            self.covariance_type,
+        )
+
+    def get_observation_log_probs(self, observations: jax.Array) -> jax.Array:
+        """State scores ``(B, T, S)`` (``mixture_gaussian.py:157-198``)."""
+        comp = self.get_component_log_probs(observations)
+        log_w = jax.nn.log_softmax(self.mixture_weights_logits[...], axis=-1)
+        return logsumexp(comp + log_w[None, None], axis=-1)
+
+    # -- inference ---------------------------------------------------------------
+    def __call__(
+        self, observations: jax.Array, return_log_probs: bool = False
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Viterbi decode: ``(decoded_states (B, T), seq_log_probs (B,)|None)``
+        (``mixture_gaussian.py:340-365``)."""
+        log_obs = self.get_observation_log_probs(observations)
+        states, score = core.viterbi(log_obs, self._log_a(), self._log_pi())
+        return (states, score) if return_log_probs else (states, None)
+
+    forward = __call__
+
+    def log_likelihood(self, observations: jax.Array) -> jax.Array:
+        """Marginal sequence log-likelihood ``(B,)`` via the forward pass."""
+        log_obs = self.get_observation_log_probs(observations)
+        return core.log_likelihood(log_obs, self._log_a(), self._log_pi())
+
+    def compute_loss(self, observations: jax.Array) -> jax.Array:
+        """NLL for gradient training."""
+        return -jnp.mean(self.log_likelihood(observations))
+
+    # -- EM (Baum-Welch) ----------------------------------------------------------
+    def em_step(self, observations: jax.Array, var_floor: float = 1e-3):
+        """One exact Baum-Welch update from a batch of sequences.
+
+        E-step: forward-backward posteriors γ and pairwise ξ on the shared
+        kernels, component responsibilities r = γ · softmax_c(comp scores).
+        M-step: closed-form weight/mean/covariance/transition updates.
+        Returns the batch mean log-likelihood *before* the update.
+        """
+        (ll, new) = _em_update(
+            observations,
+            self.means[...],
+            self.cov_params[...],
+            self.mixture_weights_logits[...],
+            self._log_a(),
+            self._log_pi(),
+            self.covariance_type,
+            var_floor,
+            self.learnable_transitions,
+        )
+        self.means[...] = new["means"]
+        self.cov_params[...] = new["cov_params"]
+        self.mixture_weights_logits[...] = new["mixture_logits"]
+        if self.learnable_transitions:
+            self.transition_logits[...] = new["transition_logits"]
+        return ll
+
+    def get_model_info(self) -> dict:
+        """Configuration and parameter statistics
+        (``mixture_gaussian.py:367-382``)."""
+        graphdef, params = nnx.split(self, nnx.Param)
+        total = sum(x.size for x in jax.tree.leaves(params))
+        return {
+            "num_states": self.num_states,
+            "feature_dim": self.feature_dim,
+            "num_components": self.num_components,
+            "covariance_type": self.covariance_type,
+            "learnable_transitions": self.learnable_transitions,
+            "total_parameters": int(total),
+            "trainable_parameters": int(total),
+            "memory_efficient": True,
+            "max_sequence_length": self.max_sequence_length,
+        }
+
+
+@partial(jax.jit, static_argnames=("covariance_type", "learnable_transitions"))
+def _em_update(
+    obs: jax.Array,
+    means: jax.Array,
+    cov_params: jax.Array,
+    mixture_logits: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    covariance_type: str,
+    var_floor: float,
+    learnable_transitions: bool,
+):
+    B, T, D = obs.shape
+    S, C, _ = means.shape
+
+    comp = gmm_component_log_probs(obs, means, cov_params, covariance_type)
+    log_w = jax.nn.log_softmax(mixture_logits, axis=-1)
+    weighted = comp + log_w[None, None]  # (B, T, S, C)
+    log_obs = logsumexp(weighted, axis=-1)  # (B, T, S)
+
+    log_gamma, log_alpha, log_beta, log_z = core.forward_backward(
+        log_obs, log_a, log_pi
+    )
+    # Component responsibilities: r = γ_s · p(c | x, s).
+    log_r = log_gamma[..., None] + weighted - log_obs[..., None]
+    r = jnp.exp(log_r)  # (B, T, S, C)
+
+    r_sum = jnp.sum(r, axis=(0, 1)) + 1e-10  # (S, C)
+    new_w = r_sum / jnp.sum(r_sum, axis=-1, keepdims=True)
+    new_means = jnp.einsum("btsc,btd->scd", r, obs) / r_sum[..., None]
+
+    ex2 = jnp.einsum("btsc,btd->scd", r, obs * obs) / r_sum[..., None]
+    var_diag = jnp.maximum(ex2 - new_means**2, var_floor)  # (S, C, D)
+
+    if covariance_type == "diag":
+        new_cov = jnp.log(var_diag)
+    elif covariance_type == "spherical":
+        new_cov = jnp.log(jnp.mean(var_diag, axis=-1))
+    elif covariance_type == "tied":
+        w = r_sum / jnp.sum(r_sum)
+        new_cov = jnp.log(jnp.einsum("sc,scd->d", w, var_diag))
+    elif covariance_type == "full":
+        exx = jnp.einsum("btsc,btd,bte->scde", r, obs, obs) / r_sum[..., None, None]
+        cov = exx - jnp.einsum("scd,sce->scde", new_means, new_means)
+        cov = cov + var_floor * jnp.eye(D)[None, None]
+        chol = jnp.linalg.cholesky(cov)  # (S, C, D, D)
+        rows, cols = jnp.tril_indices(D)
+        flat = chol[..., rows, cols]
+        # Invert the softplus-diagonal parameterization of tril_from_flat.
+        diag_pos = jnp.asarray([i * (i + 1) // 2 + i for i in range(D)])
+        diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+        inv_sp = jnp.log(jnp.expm1(jnp.maximum(diag - 1e-4, 1e-6)))
+        flat = flat.at[..., diag_pos].set(inv_sp)
+        new_cov = flat
+    else:
+        raise ValueError(covariance_type)
+
+    new = {
+        "means": new_means,
+        "cov_params": new_cov,
+        "mixture_logits": jnp.log(new_w + 1e-10),
+    }
+    if learnable_transitions:
+        xi = core.xi_expectations(log_alpha, log_beta, log_obs, log_a, log_z)
+        a_new = jnp.sum(jnp.exp(xi), axis=0)  # (K, K): Σ_b Σ_t ξ_t
+        a_new = a_new / (jnp.sum(a_new, axis=-1, keepdims=True) + 1e-10)
+        new["transition_logits"] = jnp.log(a_new + 1e-10)
+    return jnp.mean(log_z), new

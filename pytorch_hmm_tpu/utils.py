@@ -215,7 +215,7 @@ class AdaptiveTransitionMatrix(nnx.Module):
         self.fc2 = nnx.Linear(64, num_states * num_states, rngs=rngs)
 
     def __call__(self, context: Optional[jax.Array] = None) -> jax.Array:
-        base = jax.nn.softmax(self.base_transition_logits.value, axis=-1)
+        base = jax.nn.softmax(self.base_transition_logits[...], axis=-1)
         if context is None:
             return base[None]
         mod = jnp.tanh(self.fc2(jax.nn.relu(self.fc1(context))))
@@ -397,7 +397,7 @@ class AttentionTransition(nnx.Module):
         dyn = jnp.einsum("bts,bsv->btv", attn, v).reshape(
             B, T, self.num_states, self.num_states
         )
-        base = jax.nn.log_softmax(self.base_transitions.value, axis=-1)
+        base = jax.nn.log_softmax(self.base_transitions[...], axis=-1)
         return jax.nn.softmax(base[None, None] + 0.1 * dyn, axis=-1)
 
 
