@@ -1,0 +1,40 @@
+"""SPMD parallelism over TPU device meshes.
+
+A first-class subsystem the reference entirely lacks (it has no
+``torch.distributed``, no multi-device code of any kind — SURVEY.md §2.3):
+
+* ``mesh`` — declarative ``(data, time)`` mesh construction;
+* ``sharded`` — exact block-parallel forward/backward/Viterbi with
+  K-vector boundary-state exchange over the ``time`` axis;
+* ``train`` — sharded NLL training steps (DP batch + SP time).
+"""
+
+from .mesh import (
+    DATA_AXIS,
+    TIME_AXIS,
+    MeshConfig,
+    data_sharding,
+    make_mesh,
+    replicated,
+)
+from .sharded import (
+    sharded_forward_backward,
+    sharded_log_likelihood,
+    sharded_viterbi,
+)
+from .train import hmm_loss_parts, make_sharded_train_step, shard_batch
+
+__all__ = [
+    "DATA_AXIS",
+    "TIME_AXIS",
+    "MeshConfig",
+    "data_sharding",
+    "make_mesh",
+    "replicated",
+    "sharded_forward_backward",
+    "sharded_log_likelihood",
+    "sharded_viterbi",
+    "hmm_loss_parts",
+    "make_sharded_train_step",
+    "shard_batch",
+]

@@ -1,0 +1,384 @@
+"""Time-block-parallel HMM recursions over a device mesh.
+
+The forward, backward and Viterbi recursions have a length-T serial
+dependency chain. The reference caps sequence length and tells users to
+chunk by hand (``mixture_gaussian.py:169-172``, ``README.md:709-713``).
+Here the time axis is *sharded*: with P time-blocks on P devices, each
+device runs the classic O(T/P · K²) scan over its own block, and blocks
+are glued together exactly with O(K²)-sized boundary exchanges — the
+block-parallel scan decomposition (cf. Särkkä & García-Fernández,
+arXiv:2102.05743, and the overlap-save carry the reference's streaming
+processor uses on a single device, ``streaming.py:292-302``).
+
+Three-phase structure (identical for all three recursions):
+
+1. **Local block operator** (parallel): fold the per-frame semiring
+   matrices ``M_t[i, j] = log_a[i, j] + log_obs[t, j]`` over the local
+   block — O(T/P · K³), but these are batched (K, K) contractions that
+   vectorize well; for the K ≲ 100 regime of speech HMMs this is cheap.
+2. **Boundary exchange** (collective): ``all_gather`` the P block
+   operators over the ``time`` axis (P·K² numbers per sequence) and
+   redundantly prefix-fold them — every device learns the exact DP state
+   vector at its block's entry.
+3. **Local rescan** (parallel): the classic O(T/P · K²) vector scan from
+   the exact entry state, producing exact per-frame alpha/beta/delta.
+
+Results are bit-identical to the single-device scans in ``core`` as long
+as the fold order matches (we fold left-to-right, like the sequential
+scan, so only the block-operator path introduces reassociation — it
+affects nothing because pass 3 recomputes every frame from exact entry
+vectors computed from the same left-to-right fold order over blocks).
+
+All functions here are meant to be called **inside** ``jax.shard_map``
+(they use ``jax.lax`` collectives with an axis name), via the public
+wrappers at the bottom that set up the shard_map for a ``(data, time)``
+mesh. Padding/`lengths` is not supported on the sharded path — pad to a
+multiple of the block size with neutral frames instead (uniform
+observation probabilities do not change posteriors' argmax or the path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.semiring import log_matmul, log_matvec, log_matvec_t, logsumexp
+from .mesh import DATA_AXIS, TIME_AXIS
+
+__all__ = [
+    "sharded_forward_backward",
+    "sharded_log_likelihood",
+    "sharded_viterbi",
+]
+
+
+def _axis_info(axis_name: str):
+    idx = jax.lax.axis_index(axis_name)
+    size = jax.lax.psum(1, axis_name)
+    return idx, size
+
+
+def _pvary(x: jax.Array, axis_names) -> jax.Array:
+    """Mark a shard-invariant value as varying over the manual mesh axes
+    (required for scan carries under shard_map's vma type system)."""
+    return jax.lax.pvary(x, tuple(axis_names))
+
+
+def _log_eye(k: int, dtype) -> jax.Array:
+    """Semiring identity: 0 on the diagonal, -inf elsewhere."""
+    return jnp.where(jnp.eye(k, dtype=bool), 0.0, -jnp.inf).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _forward_block(log_obs, log_a, log_pi, axis_name, vary=()):
+    """Per-shard body: exact local log_alpha (B, Tl, K) + log_z (B,).
+
+    ``log_obs`` is the local time block; frame indices are globalized via
+    the shard's position on the time axis.
+    """
+    B, Tl, K = log_obs.shape
+    idx, p = _axis_info(axis_name)
+    t0 = idx * Tl  # global index of the first local frame
+
+    # Pass 1: local block operator. Global frame 0 contributes the rank-1
+    # matrix with rows equal to alpha_0 (same trick as core.fb's
+    # associative path): row i of any later product is then alpha_t for
+    # every i, making the entry vector a plain row slice.
+    def op(t_local):
+        lo_t = log_obs[:, t_local]  # (B, K)
+        m = log_a[None] + lo_t[:, None, :]  # (B, K, K)
+        a0 = jnp.broadcast_to((log_pi + lo_t)[:, None, :], (B, K, K))
+        return jnp.where(t0 + t_local == 0, a0, m)
+
+    def fold(carry, t_local):
+        return log_matmul(carry, op(t_local)), None
+
+    eye = _pvary(
+        jnp.broadcast_to(_log_eye(K, log_obs.dtype), (B, K, K)), vary
+    )
+    block, _ = jax.lax.scan(fold, eye, jnp.arange(Tl))
+
+    # Pass 2: gather block operators, fold prefixes redundantly.
+    blocks = jax.lax.all_gather(block, axis_name)  # (P, B, K, K)
+
+    def pfold(carry, b):
+        nxt = log_matmul(carry, b)
+        return nxt, carry  # emit the *exclusive* prefix
+
+    _, prefixes = jax.lax.scan(pfold, eye, blocks)
+    entry_mat = prefixes[idx]  # exclusive prefix: blocks 0..idx-1
+    # For idx >= 1 the prefix contains the rank-1 frame-0 element, so every
+    # row equals alpha at the previous block's last frame; row 0 suffices.
+    entry = entry_mat[:, 0, :]  # (B, K); garbage for idx == 0 (unused)
+
+    # Pass 3: exact local rescan.
+    def step(carry, t_local):
+        lo_t = log_obs[:, t_local]
+        from_prev = lo_t + log_matvec(carry, log_a)
+        first = log_pi + lo_t
+        alpha_t = jnp.where(t0 + t_local == 0, first, from_prev)
+        return alpha_t, alpha_t
+
+    _, alphas = jax.lax.scan(step, entry, jnp.arange(Tl))
+    log_alpha = alphas.swapaxes(0, 1)  # (B, Tl, K)
+
+    # Sequence likelihood lives on the last shard (alpha at the global
+    # final frame); psum broadcasts it — formally replicated over the time
+    # axis for the vma type system, and differentiable.
+    lz_local = logsumexp(log_alpha[:, -1], axis=-1)
+    log_z = jax.lax.psum(
+        jnp.where(idx == p - 1, lz_local, jnp.zeros_like(lz_local)),
+        axis_name,
+    )
+    return log_alpha, log_z
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _backward_block(log_obs, log_a, axis_name, vary=()):
+    """Per-shard body: exact local log_beta (B, Tl, K).
+
+    Carries the message ``v_t = log_obs_t + beta_t`` so each block only
+    needs its own observations: ``v_t = Ã_t ⊗ v_{t+1}`` with
+    ``Ã_t[i, j] = log_obs_t[i] + log_a[i, j]`` and ``v_{T-1} = log_obs_{T-1}``.
+    """
+    B, Tl, K = log_obs.shape
+    idx, p = _axis_info(axis_name)
+    t0 = idx * Tl
+    T = p * Tl
+
+    def op(t_local):
+        lo_t = log_obs[:, t_local]
+        m = lo_t[:, :, None] + log_a[None]  # (B, K, K)
+        # Global last frame: rank-1 with columns v_{T-1} = log_obs_{T-1}.
+        last = jnp.broadcast_to(lo_t[:, :, None], (B, K, K))
+        return jnp.where(t0 + t_local == T - 1, last, m)
+
+    def fold(carry, t_local):
+        # Right-to-left composition: block = Ã_first ⊗ ... ⊗ Ã_last.
+        return log_matmul(op(t_local), carry), None
+
+    eye = _pvary(
+        jnp.broadcast_to(_log_eye(K, log_obs.dtype), (B, K, K)), vary
+    )
+    block, _ = jax.lax.scan(fold, eye, jnp.arange(Tl), reverse=True)
+
+    blocks = jax.lax.all_gather(block, axis_name)  # (P, B, K, K)
+
+    def sfold(carry, b):
+        nxt = log_matmul(b, carry)
+        return nxt, carry  # emit the *exclusive* suffix (blocks idx+1..P-1)
+
+    _, suffixes = jax.lax.scan(sfold, eye, blocks, reverse=True)
+    exit_mat = suffixes[idx]
+    # Suffix products contain the rank-1 final element, so every column
+    # equals v at the next block's first frame.
+    exit_v = exit_mat[:, :, 0]  # (B, K); garbage for idx == P-1 (unused)
+
+    def step(carry, t_local):
+        lo_t = log_obs[:, t_local]
+        beta_t = jnp.where(
+            t0 + t_local == T - 1,
+            jnp.zeros((B, K), log_obs.dtype),
+            log_matvec_t(log_a, carry),
+        )
+        return lo_t + beta_t, beta_t
+
+    _, betas = jax.lax.scan(step, exit_v, jnp.arange(Tl), reverse=True)
+    return betas.swapaxes(0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi
+# ---------------------------------------------------------------------------
+
+def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=()):
+    """Per-shard body: exact local Viterbi path (B, Tl) + score (B,).
+
+    Same three phases in the (max, +) semiring, plus a fourth *stitch*
+    phase for the backtrace: each block backtraces a (K,) family of local
+    paths (one per hypothetical exit state), exposes the induced
+    exit→entry-predecessor map, and the P maps are composed redundantly on
+    every shard to pick each block's true exit state.
+    """
+    B, Tl, K = log_obs.shape
+    idx, p = _axis_info(axis_name)
+    t0 = idx * Tl
+
+    def max_matmul_b(x, y):
+        # Contract over the middle (previous-state) axis: the summand has
+        # dims (..., i, k, j) after broadcasting.
+        return jnp.max(x[..., :, :, None] + y[..., None, :, :], axis=-2)
+
+    def op(t_local):
+        lo_t = log_obs[:, t_local]
+        m = log_a[None] + lo_t[:, None, :]
+        d0 = jnp.broadcast_to((log_pi + lo_t)[:, None, :], (B, K, K))
+        return jnp.where(t0 + t_local == 0, d0, m)
+
+    def fold(carry, t_local):
+        return max_matmul_b(carry, op(t_local)), None
+
+    eye = _pvary(
+        jnp.broadcast_to(_log_eye(K, log_obs.dtype), (B, K, K)), vary
+    )
+    block, _ = jax.lax.scan(fold, eye, jnp.arange(Tl))
+
+    blocks = jax.lax.all_gather(block, axis_name)
+
+    def pfold(carry, b):
+        return max_matmul_b(carry, b), carry
+
+    _, prefixes = jax.lax.scan(pfold, eye, blocks)
+    entry = prefixes[idx][:, 0, :]  # delta at previous block's last frame
+
+    # Pass 3: exact local trellis with backpointers. psi at local frame 0
+    # points into the previous block's last frame (valid: entry is exact).
+    def step(carry, t_local):
+        lo_t = log_obs[:, t_local]
+        scores = carry[:, :, None] + log_a[None]  # (B, K, K)
+        best = jnp.max(scores, axis=-2) + lo_t
+        psi = jnp.argmax(scores, axis=-2).astype(jnp.int32)
+        first = log_pi + lo_t
+        is0 = t0 + t_local == 0
+        delta_t = jnp.where(is0, first, best)
+        psi_t = jnp.where(is0, jnp.zeros_like(psi), psi)
+        return delta_t, (delta_t, psi_t)
+
+    delta_last, (_, psis) = jax.lax.scan(step, entry, jnp.arange(Tl))
+    # psis: (Tl, B, K)
+
+    # Pass 4a: local backtrace for every hypothetical exit state.
+    all_states = _pvary(
+        jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K)),
+        vary,
+    )
+
+    def back(carry, psi_t):
+        # carry: (B, K) current state per exit hypothesis
+        prev = jnp.take_along_axis(psi_t, carry, axis=1)
+        return prev, carry
+
+    # Walk backpointers from the last local frame down to frame 0; emit the
+    # state at each local frame, then the final carry is the predecessor in
+    # the previous block (psi_0 applied).
+    link, states_rev = jax.lax.scan(back, all_states, psis, reverse=True)
+    # states_rev: (Tl, B, K) state at each local frame per exit hypothesis
+    # link: (B, K) previous block's exit state per our exit hypothesis
+
+    # Pass 4b: stitch — compose the per-block maps right-to-left. The true
+    # final delta lives on the last shard; psum-broadcast its argmax/max.
+    links = jax.lax.all_gather(link, axis_name)  # (P, B, K)
+    is_last = idx == p - 1
+    fs_local = jnp.argmax(delta_last, axis=-1).astype(jnp.int32)
+    final_state = jax.lax.psum(
+        jnp.where(is_last, fs_local, jnp.zeros_like(fs_local)), axis_name
+    )
+    score = jax.lax.psum(
+        jnp.where(is_last, jnp.max(delta_last, axis=-1), 0.0), axis_name
+    )
+
+    def stitch(carry, lnk):
+        # carry: exit state of the block to our right (i.e. this block's
+        # successor chain); emits this block's exit state.
+        prev_exit = jnp.take_along_axis(lnk, carry[:, None], axis=1)[:, 0]
+        return prev_exit, carry
+
+    _, exits = jax.lax.scan(
+        stitch, _pvary(final_state, (axis_name,)), links, reverse=True
+    )
+    my_exit = exits[idx]  # (B,)
+
+    path = jnp.take_along_axis(
+        states_rev.transpose(1, 0, 2), my_exit[:, None, None].repeat(Tl, 1),
+        axis=2,
+    )[:, :, 0]  # (B, Tl)
+    return path, score
+
+
+# ---------------------------------------------------------------------------
+# Public wrappers (set up shard_map over a (data, time) mesh)
+# ---------------------------------------------------------------------------
+
+def _specs(mesh: Mesh):
+    has_data = DATA_AXIS in mesh.axis_names
+    d = DATA_AXIS if has_data else None
+    obs_spec = P(d, TIME_AXIS, None)
+    return obs_spec, P(d, TIME_AXIS), P(d)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_forward_backward(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    mesh: Mesh,
+):
+    """Exact forward-backward with batch sharded over ``data`` and time
+    sharded over ``time``. Returns ``(log_gamma, log_alpha, log_beta,
+    log_z)`` like ``core.forward_backward``.
+    """
+    obs_spec, _, b_spec = _specs(mesh)
+
+    def body(lo, la, lp):
+        axis = TIME_AXIS
+        vary = mesh.axis_names
+        log_alpha, log_z = _forward_block(lo, la, lp, axis, vary)
+        log_beta = _backward_block(lo, la, axis, vary)
+        lg = log_alpha + log_beta
+        log_gamma = lg - logsumexp(lg, axis=-1, keepdims=True)
+        return log_gamma, log_alpha, log_beta, log_z
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(obs_spec, P(None, None), P(None)),
+        out_specs=(obs_spec, obs_spec, obs_spec, b_spec),
+    )(log_obs, log_a, log_pi)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_log_likelihood(
+    log_obs: jax.Array, log_a: jax.Array, log_pi: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """Sequence log-likelihood ``(B,)`` on a sharded mesh (differentiable —
+    use inside sharded training losses)."""
+    obs_spec, _, b_spec = _specs(mesh)
+
+    def body(lo, la, lp):
+        _, log_z = _forward_block(lo, la, lp, TIME_AXIS, mesh.axis_names)
+        return log_z
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(obs_spec, P(None, None), P(None)),
+        out_specs=b_spec,
+    )(log_obs, log_a, log_pi)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_viterbi(
+    log_obs: jax.Array, log_a: jax.Array, log_pi: jax.Array, mesh: Mesh
+):
+    """Exact Viterbi path ``(B, T)`` + score ``(B,)`` on a sharded mesh."""
+    obs_spec, t_spec, b_spec = _specs(mesh)
+
+    def body(lo, la, lp):
+        return _viterbi_block(lo, la, lp, TIME_AXIS, mesh.axis_names)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(obs_spec, P(None, None), P(None)),
+        out_specs=(t_spec, b_spec),
+    )(log_obs, log_a, log_pi)

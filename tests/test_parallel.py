@@ -1,0 +1,99 @@
+"""Sharded (data, time) mesh kernels must match single-device exactly.
+
+Multi-device tests the reference cannot have (it has no distributed code;
+SURVEY.md §2.3) — run on the virtual 8-device CPU platform from conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_hmm_tpu import core
+from pytorch_hmm_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+    sharded_forward_backward,
+    sharded_log_likelihood,
+    sharded_viterbi,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(7)
+    B, T, K = 8, 64, 5
+    log_obs = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    log_a = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K), size=K), jnp.float32))
+    log_pi = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K)), jnp.float32))
+    return log_obs, log_a, log_pi
+
+
+MESHES = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+@pytest.mark.parametrize("data,time", MESHES)
+def test_sharded_forward_backward_matches(problem, data, time):
+    log_obs, log_a, log_pi = problem
+    mesh = make_mesh(data=data, time=time)
+    lg, la, lb, lz = sharded_forward_backward(log_obs, log_a, log_pi, mesh)
+    lg0, la0, lb0, lz0 = core.forward_backward(log_obs, log_a, log_pi)
+    np.testing.assert_allclose(la, la0, atol=1e-4)
+    np.testing.assert_allclose(lb, lb0, atol=1e-4)
+    np.testing.assert_allclose(lg, lg0, atol=1e-4)
+    np.testing.assert_allclose(lz, lz0, atol=1e-4)
+
+
+@pytest.mark.parametrize("data,time", MESHES)
+def test_sharded_viterbi_matches(problem, data, time):
+    log_obs, log_a, log_pi = problem
+    mesh = make_mesh(data=data, time=time)
+    s, sc = sharded_viterbi(log_obs, log_a, log_pi, mesh)
+    s0, sc0 = core.viterbi(log_obs, log_a, log_pi)
+    assert bool(jnp.all(s == s0)), "sharded Viterbi path differs"
+    np.testing.assert_allclose(sc, sc0, atol=1e-4)
+
+
+def test_sharded_likelihood_gradient_matches(problem):
+    log_obs, log_a, log_pi = problem
+    mesh = make_mesh(data=2, time=4)
+    g = jax.grad(
+        lambda lo: jnp.sum(sharded_log_likelihood(lo, log_a, log_pi, mesh))
+    )(log_obs)
+    g0 = jax.grad(
+        lambda lo: jnp.sum(core.log_likelihood(lo, log_a, log_pi))
+    )(log_obs)
+    np.testing.assert_allclose(g, g0, atol=1e-4)
+
+
+def test_sharded_train_step_decreases_loss():
+    import optax
+    from flax import nnx
+    from pytorch_hmm_tpu.models import MixtureGaussianHMMLayer
+
+    mesh = make_mesh(data=2, time=4)
+    model = MixtureGaussianHMMLayer(
+        num_states=4, feature_dim=8, num_components=2, rngs=nnx.Rngs(0)
+    )
+    opt_state, step_fn, params, rest = make_sharded_train_step(
+        model, optax.adam(5e-2), mesh
+    )
+    obs = shard_batch(
+        mesh, jax.random.normal(jax.random.PRNGKey(1), (4, 32, 8))
+    )
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step_fn(params, rest, opt_state, obs)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(8)
