@@ -17,6 +17,21 @@ __version__ = "0.1.0"
 
 from .hmm import HMM, HMMJax, HMMPyTorch
 from . import core
+from . import durations
+from .models import (
+    AdaptiveDurationHSMM,
+    ContextualNeuralHMM,
+    DurationConstrainedHMM,
+    DurationModel,
+    GaussianHMMLayer,
+    HMMLayer,
+    HSMMLayer,
+    MixtureGaussianHMMLayer,
+    NeuralHMM,
+    NeuralObservationModel,
+    NeuralTransitionModel,
+    SemiMarkovHMM,
+)
 from .utils import (
     AdaptiveTransitionMatrix,
     AttentionTransition,
@@ -45,6 +60,20 @@ __all__ = [
     "HMMJax",
     "HMMPyTorch",
     "core",
+    "durations",
+    # model layers
+    "HMMLayer",
+    "GaussianHMMLayer",
+    "MixtureGaussianHMMLayer",
+    "HSMMLayer",
+    "DurationConstrainedHMM",
+    "DurationModel",
+    "SemiMarkovHMM",
+    "AdaptiveDurationHSMM",
+    "NeuralTransitionModel",
+    "NeuralObservationModel",
+    "NeuralHMM",
+    "ContextualNeuralHMM",
     # utils
     "AdaptiveTransitionMatrix",
     "AttentionTransition",

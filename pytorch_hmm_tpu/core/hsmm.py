@@ -1,0 +1,180 @@
+"""Explicit-duration (semi-Markov) DP kernels.
+
+The reference decodes HSMMs with a quadruple-nested Python loop over
+(t, state, duration, predecessor) — O(T·S²·D²) interpreter time
+(``hsmm.py:245-354``; again in ``semi_markov.py:308-383, 455-570``) and
+warns beyond T=1000. Here the same segment DP is a single ``lax.scan``
+over time with O(D·S + S²) fully-vectorized work per step:
+
+* cumulative emission sums turn segment scores into two-gather
+  differences: ``E(s, t-d+1..t) = C(s, t) − C(s, t-d)``;
+* the predecessor maximization is hoisted out of the duration loop:
+  ``μ(t, s) = op_{s'}(score(t, s') + log_a[s', s])`` is computed once per
+  frame and consumed by *later* frames' duration scans, so the per-frame
+  duration reduction is a (D, S) elementwise op, not (D, S²);
+* a (D, S) ring buffer in the scan carry holds the last D values of μ
+  and C — the only state the recursion ever needs.
+
+One kernel serves both semirings: ``max`` (Viterbi segmentation, with
+backpointers) and ``sum`` (forward algorithm / likelihood, differentiable
+for training). HSMM semantics: transitions carry no self-loops (state
+changes between segments); durations live in ``1..max_duration`` with a
+(S, D) log-pmf whose entries below ``min_duration`` are -inf.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .semiring import logsumexp
+
+__all__ = ["hsmm_forward", "hsmm_viterbi"]
+
+_NEG = -1e30  # finite log(0): keeps gradients NaN-free in the sum path
+
+
+def _masked(x, mask):
+    return jnp.where(mask, x, _NEG)
+
+
+@partial(jax.jit, static_argnames=())
+def hsmm_forward(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    log_dur: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """HSMM forward algorithm.
+
+    Args:
+        log_obs: ``(B, T, S)`` per-state observation log-likelihoods.
+        log_a: ``(S, S)`` log transition matrix (diagonal should be -inf /
+            very negative — no self-loops between segments).
+        log_pi: ``(S,)`` initial state log-probabilities.
+        log_dur: ``(S, D)`` duration log-pmf; column ``j`` is duration
+            ``j+1`` frames.
+
+    Returns:
+        ``(log_alpha_star (B, T, S), log_z (B,))`` — ``log_alpha_star[t,s]``
+        is the log-probability of the observations up to ``t`` with a
+        segment of state ``s`` ending exactly at ``t``; ``log_z`` is the
+        sequence log-likelihood (segmentations ending at ``T-1``).
+    """
+    out = _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi=False)
+    log_alpha, _, _ = out
+    log_z = logsumexp(log_alpha[:, -1], axis=-1)
+    return log_alpha, log_z
+
+
+@partial(jax.jit, static_argnames=())
+def hsmm_viterbi(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    log_dur: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Most-likely segmentation. Returns ``(states (B, T), score (B,))``.
+
+    Replaces reference ``HSMMLayer._viterbi_decode_single``
+    (``hsmm.py:245-354``) — batched, scan-based, O(T·(DS+S²)).
+    """
+    delta, dstar, phi = _hsmm_scan(log_obs, log_a, log_pi, log_dur,
+                                   viterbi=True)
+    B, T, S = log_obs.shape
+    delta_T = delta[:, -1]  # (B, S)
+    score = jnp.max(delta_T, axis=-1)
+    s0 = jnp.argmax(delta_T, axis=-1).astype(jnp.int32)
+
+    # Per-frame reverse backtrace. Carry: (state of the segment covering
+    # frame t, frames of that segment remaining at and below t).
+    left0 = jnp.take_along_axis(dstar[:, -1], s0[:, None], axis=1)[:, 0] + 1
+
+    def back(carry, xs):
+        s, left = carry
+        phi_prev, dstar_prev = xs  # tables at frame t-1: (B, S)
+        left = left - 1
+        switch = left == 0
+        s_prev = jnp.take_along_axis(phi_prev, s[:, None], axis=1)[:, 0]
+        d_prev = (
+            jnp.take_along_axis(dstar_prev, s_prev[:, None], axis=1)[:, 0] + 1
+        )
+        s_new = jnp.where(switch, s_prev, s)
+        left_new = jnp.where(switch, d_prev, left)
+        return (s_new, left_new), s
+
+    # xs at step t are the (t-1)-frame tables; frame 0 gets dummies (the
+    # scan's final carry is unused).
+    phi_shift = jnp.concatenate([phi[:, :1], phi[:, :-1]], axis=1)
+    dstar_shift = jnp.concatenate([dstar[:, :1], dstar[:, :-1]], axis=1)
+    _, states = jax.lax.scan(
+        back,
+        (s0, left0),
+        (phi_shift.swapaxes(0, 1), dstar_shift.swapaxes(0, 1)),
+        reverse=True,
+    )
+    return states.swapaxes(0, 1), score
+
+
+def _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi: bool):
+    """Shared segment-DP scan.
+
+    Returns ``(score_table (B, T, S), dstar (B, T, S), phi (B, T, S))``;
+    the last two are zeros for the sum semiring.
+    """
+    B, T, S = log_obs.shape
+    D = log_dur.shape[-1]
+    dt = log_obs.dtype
+
+    log_a = jnp.maximum(log_a, _NEG)
+    log_dur_t = jnp.maximum(log_dur.T, _NEG)  # (D, S)
+
+    # Ring buffers over the last D frames: slot j holds the value at frame
+    # t-1-j. mu(-1) = log_pi (segment starting at frame 0); C(-1) = 0.
+    mu0 = jnp.full((B, D, S), _NEG, dt)
+    mu0 = mu0.at[:, 0, :].set(jnp.broadcast_to(log_pi, (B, S)))
+    c0 = jnp.zeros((B, D, S), dt)
+    crun0 = jnp.zeros((B, S), dt)
+
+    j_idx = jnp.arange(D)[None, :, None]  # (1, D, 1): j = d-1
+
+    def step(carry, xs):
+        mu_buf, c_buf, c_run = carry
+        lo_t, t = xs
+        c_t = c_run + lo_t  # C(t) inclusive
+
+        # Candidate scores over durations d = j+1 ending at t.
+        scores = (
+            log_dur_t[None]                    # (1, D, S)
+            + (c_t[:, None, :] - c_buf)        # segment emission sum
+            + mu_buf                           # best/total entry at t-d
+        )
+        scores = _masked(scores, j_idx <= t)   # need t-d >= -1
+
+        if viterbi:
+            val = jnp.max(scores, axis=1)          # (B, S)
+            dstar_t = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            trans = val[:, :, None] + log_a[None]  # (B, S', S)
+            mu_t = jnp.max(trans, axis=1)
+            phi_t = jnp.argmax(trans, axis=1).astype(jnp.int32)
+        else:
+            val = logsumexp(scores, axis=1)
+            dstar_t = jnp.zeros((B, S), jnp.int32)
+            trans = val[:, :, None] + log_a[None]
+            mu_t = logsumexp(trans, axis=1)
+            phi_t = dstar_t
+
+        mu_buf = jnp.concatenate([mu_t[:, None], mu_buf[:, :-1]], axis=1)
+        c_buf = jnp.concatenate([c_t[:, None], c_buf[:, :-1]], axis=1)
+        return (mu_buf, c_buf, c_t), (val, dstar_t, phi_t)
+
+    xs = (log_obs.swapaxes(0, 1), jnp.arange(T))
+    _, (vals, dstars, phis) = jax.lax.scan(step, (mu0, c0, crun0), xs)
+    return (
+        vals.swapaxes(0, 1),
+        dstars.swapaxes(0, 1),
+        phis.swapaxes(0, 1),
+    )

@@ -30,12 +30,19 @@ class TrainMode(nnx.Module):
 
     _training: bool = True
 
+    def _set_mode(self, training: bool):
+        for _, node in nnx.iter_graph(self):
+            if isinstance(node, TrainMode):
+                node._training = training
+
     def train(self):
-        self._training = True
+        """Enter training mode, recursively (torch ``Module.train``)."""
+        self._set_mode(True)
         return self
 
     def eval(self):
-        self._training = False
+        """Enter eval mode, recursively (torch ``Module.eval``)."""
+        self._set_mode(False)
         return self
 
     @property

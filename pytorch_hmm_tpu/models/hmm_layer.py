@@ -213,16 +213,6 @@ class GaussianHMMLayer(TrainMode):
             raise ValueError(f"Unknown covariance_type: {covariance_type}")
         self.log_scales = nnx.Param(jnp.zeros(shape))
 
-    def train(self):
-        self._training = True
-        self.hmm_layer.train()
-        return self
-
-    def eval(self):
-        self._training = False
-        self.hmm_layer.eval()
-        return self
-
     def _compute_gaussian_log_probs(self, observations: jax.Array) -> jax.Array:
         return gaussian_log_probs(
             observations, self.means[...], self.log_scales[...],

@@ -1,0 +1,321 @@
+"""HSMMLayer / DurationConstrainedHMM — explicit-duration models.
+
+Parity targets: reference ``hsmm.py:20-472`` (HSMMLayer: no-self-loop
+transitions, gamma/Poisson/Weibull duration pmfs with softplus-learnable
+parameters, diagonal-Gaussian emissions, segment Viterbi, generation) and
+``hsmm.py:475-590`` (DurationConstrainedHMM: MLP emissions + duration-
+penalized Viterbi).
+
+TPU-first differences:
+
+* decoding runs on the shared vectorized segment-DP scan
+  (``core/hsmm.py``) — batched, O(T·(DS+S²)) — instead of the reference's
+  per-sequence O(T·S²·D²) Python loops (``hsmm.py:235-354``); no
+  T>1000 warning because there is no cliff;
+* a differentiable HSMM *forward* algorithm (``log_likelihood`` /
+  ``compute_loss``) is provided — the reference can only Viterbi-decode;
+* DurationConstrainedHMM expresses its soft min/max duration penalties as
+  a duration log-score in the same segment DP, rather than mutating a
+  running-duration counter inside a Python Viterbi (``hsmm.py:520-590``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..core.hsmm import hsmm_forward, hsmm_viterbi
+from ..durations import (
+    gamma_duration_log_pmf,
+    poisson_duration_log_pmf,
+    weibull_duration_log_pmf,
+)
+from ..emissions import diag_gaussian_log_probs
+from .common import Buffer, TrainMode
+
+__all__ = ["HSMMLayer", "DurationConstrainedHMM"]
+
+
+class HSMMLayer(TrainMode):
+    """Hidden semi-Markov model with explicit state durations."""
+
+    def __init__(
+        self,
+        num_states: int,
+        feature_dim: int,
+        duration_distribution: str = "gamma",
+        max_duration: int = 50,
+        learnable_duration_params: bool = True,
+        min_duration: int = 1,
+        normalize_durations: bool = False,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        rngs = rngs or nnx.Rngs(0)
+        if duration_distribution not in ("gamma", "poisson", "weibull"):
+            raise ValueError(
+                f"Unknown duration distribution: {duration_distribution}"
+            )
+        self.num_states = num_states
+        self.feature_dim = feature_dim
+        self.duration_distribution = duration_distribution
+        self.max_duration = max_duration
+        self.min_duration = min_duration
+        self.learnable_duration_params = learnable_duration_params
+        self.normalize_durations = normalize_durations
+        self.eps = 1e-8
+
+        S, F = num_states, feature_dim
+        self.transition_logits = nnx.Param(
+            jax.random.normal(rngs.params(), (S, S)) * 0.1
+        )
+        self.observation_means = nnx.Param(
+            jax.random.normal(rngs.params(), (S, F)) * 0.1
+        )
+        self.observation_log_vars = nnx.Param(jnp.zeros((S, F)))
+
+        # Raw (pre-softplus) duration parameters; initial values match the
+        # reference (mean duration ~10 frames, hsmm.py:80-100).
+        def raw(v):
+            # softplus(x) = v  ⇒  x = log(expm1(v))
+            arr = jnp.full((S,), math.log(math.expm1(v)))
+            return nnx.Param(arr) if learnable_duration_params else Buffer(arr)
+
+        if duration_distribution == "gamma":
+            self.duration_shape = raw(2.0)
+            self.duration_rate = raw(0.2)
+        elif duration_distribution == "poisson":
+            self.duration_lambda = raw(10.0)
+        else:  # weibull
+            self.duration_scale = raw(10.0)
+            self.duration_concentration = raw(2.0)
+
+    # -- parameter views ------------------------------------------------------
+    def get_transition_matrix(self) -> jax.Array:
+        """Softmax transitions with a hard-zero diagonal (no self-loops,
+        ``hsmm.py:108-113``)."""
+        logits = self.transition_logits[...]
+        masked = jnp.where(
+            jnp.eye(self.num_states, dtype=bool), -jnp.inf, logits
+        )
+        return jax.nn.softmax(masked, axis=-1)
+
+    def _log_a(self) -> jax.Array:
+        logits = self.transition_logits[...]
+        masked = jnp.where(
+            jnp.eye(self.num_states, dtype=bool), -jnp.inf, logits
+        )
+        return jax.nn.log_softmax(masked, axis=-1)
+
+    def _log_pi(self) -> jax.Array:
+        # Uniform initial distribution, as in the reference's decoder
+        # (hsmm.py:269-274 scores every state's first segment equally).
+        return jnp.full((self.num_states,), -math.log(self.num_states))
+
+    def get_duration_log_probs(self) -> jax.Array:
+        """(S, D) duration log-pmf (``hsmm.py:115-179``)."""
+        kw = dict(
+            max_duration=self.max_duration,
+            min_duration=self.min_duration,
+            normalize=self.normalize_durations,
+        )
+        sp = jax.nn.softplus
+        if self.duration_distribution == "gamma":
+            return gamma_duration_log_pmf(
+                sp(self.duration_shape[...]), sp(self.duration_rate[...]), **kw
+            )
+        if self.duration_distribution == "poisson":
+            return poisson_duration_log_pmf(
+                sp(self.duration_lambda[...]), **kw
+            )
+        return weibull_duration_log_pmf(
+            sp(self.duration_scale[...]),
+            sp(self.duration_concentration[...]),
+            **kw,
+        )
+
+    def get_duration_probabilities(self) -> jax.Array:
+        """(S, D) probabilities — reference API shape (``hsmm.py:115``)."""
+        return jnp.exp(self.get_duration_log_probs())
+
+    def get_observation_log_probs(self, observations: jax.Array) -> jax.Array:
+        """(B, T, S) diagonal-Gaussian scores (``hsmm.py:181-206``)."""
+        return diag_gaussian_log_probs(
+            observations,
+            self.observation_means[...],
+            self.observation_log_vars[...],
+        )
+
+    # -- inference ------------------------------------------------------------
+    def viterbi_decode_hsmm(
+        self, observations: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Best segmentation: ``(states (B, T), scores (B,))``
+        (``hsmm.py:208-243``)."""
+        log_obs = self.get_observation_log_probs(observations)
+        return hsmm_viterbi(
+            log_obs, self._log_a(), self._log_pi(),
+            self.get_duration_log_probs(),
+        )
+
+    def __call__(self, observations: jax.Array):
+        return self.viterbi_decode_hsmm(observations)
+
+    forward = __call__
+
+    def log_likelihood(self, observations: jax.Array) -> jax.Array:
+        """Marginal log-likelihood over all segmentations ``(B,)`` — new
+        capability; the reference has no HSMM forward algorithm."""
+        log_obs = self.get_observation_log_probs(observations)
+        _, log_z = hsmm_forward(
+            log_obs, self._log_a(), self._log_pi(),
+            self.get_duration_log_probs(),
+        )
+        return log_z
+
+    def compute_loss(self, observations: jax.Array) -> jax.Array:
+        return -jnp.mean(self.log_likelihood(observations))
+
+    # -- generation ------------------------------------------------------------
+    def generate_sequence(
+        self,
+        length: int,
+        initial_state: int = 0,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Ancestral sampling: ``(states (length,), obs (length, F))``
+        (``hsmm.py:356-424``). Fixed-shape: a scan over frames carrying
+        (state, frames-left); durations are drawn when a segment opens.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        log_dur = self.get_duration_log_probs()
+        log_a = self._log_a()
+        means = self.observation_means[...]
+        stds = jnp.exp(0.5 * self.observation_log_vars[...])
+
+        def step(carry, key_t):
+            state, left = carry
+            k_dur, k_tr = jax.random.split(key_t)
+            # When the current segment is exhausted, transition and draw a
+            # fresh duration; otherwise keep counting down.
+            new_state = jax.random.categorical(k_tr, log_a[state])
+            new_dur = 1 + jax.random.categorical(k_dur, log_dur[new_state])
+            opens = left <= 0
+            state = jnp.where(opens, new_state, state)
+            left = jnp.where(opens, new_dur, left) - 1
+            return (state, left), state
+
+        k0, k_obs, k_seq = jax.random.split(key, 3)
+        init_dur = 1 + jax.random.categorical(k0, log_dur[initial_state])
+        keys = jax.random.split(k_seq, length)
+        _, states = jax.lax.scan(
+            step, (jnp.int32(initial_state), init_dur), keys
+        )
+        noise = jax.random.normal(k_obs, (length, self.feature_dim))
+        observations = means[states] + stds[states] * noise
+        return states, observations
+
+    # -- introspection ----------------------------------------------------------
+    def get_expected_durations(self) -> jax.Array:
+        """Closed-form expected duration per state (``hsmm.py:439-452``)."""
+        sp = jax.nn.softplus
+        if self.duration_distribution == "gamma":
+            return sp(self.duration_shape[...]) / sp(self.duration_rate[...])
+        if self.duration_distribution == "poisson":
+            return sp(self.duration_lambda[...])
+        scale = sp(self.duration_scale[...])
+        conc = sp(self.duration_concentration[...])
+        return scale * jnp.exp(jax.scipy.special.gammaln(1.0 + 1.0 / conc))
+
+    def get_model_info(self) -> dict:
+        graphdef, params = nnx.split(self, nnx.Param)
+        total = sum(x.size for x in jax.tree.leaves(params))
+        return {
+            "model_type": "HSMM",
+            "num_states": self.num_states,
+            "feature_dim": self.feature_dim,
+            "duration_distribution": self.duration_distribution,
+            "max_duration": self.max_duration,
+            "min_duration": self.min_duration,
+            "expected_durations": self.get_expected_durations().tolist(),
+            "total_parameters": int(total),
+            "trainable_parameters": int(total),
+            "learnable_durations": self.learnable_duration_params,
+        }
+
+
+class DurationConstrainedHMM(TrainMode):
+    """HMM with MLP emissions and soft min/max duration penalties.
+
+    The reference tracks a running duration inside a Python Viterbi and
+    adds penalties when segments are too short/long (``hsmm.py:520-590``).
+    Here the same soft constraint is a duration log-score
+    ``-w·max(0, min_d − d) − w·max(0, d − max_d)`` fed to the shared
+    segment DP — one fused scan, exact penalty per segment.
+    """
+
+    def __init__(
+        self,
+        num_states: int,
+        feature_dim: int,
+        min_duration: int = 3,
+        max_duration: int = 30,
+        hidden_dim: int = 128,
+        duration_penalty_weight: float = 0.1,
+        duration_slack: int = 10,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        rngs = rngs or nnx.Rngs(0)
+        self.num_states = num_states
+        self.feature_dim = feature_dim
+        self.min_duration = min_duration
+        self.max_duration = max_duration
+        self.duration_penalty_weight = duration_penalty_weight
+        # Segments may exceed max_duration at a penalty; bound the DP grid.
+        self.duration_grid = max_duration + duration_slack
+
+        self.transition_logits = nnx.Param(
+            jax.random.normal(rngs.params(), (num_states, num_states)) * 0.1
+        )
+        self.emission_net = nnx.Sequential(
+            nnx.Linear(feature_dim, hidden_dim, rngs=rngs),
+            jax.nn.relu,
+            nnx.Linear(hidden_dim, num_states, rngs=rngs),
+        )
+
+    def _duration_log_score(self) -> jax.Array:
+        d = jnp.arange(1, self.duration_grid + 1, dtype=jnp.float32)
+        w = self.duration_penalty_weight
+        pen = w * jnp.maximum(0.0, self.min_duration - d) + w * jnp.maximum(
+            0.0, d - self.max_duration
+        )
+        return jnp.broadcast_to(-pen, (self.num_states, self.duration_grid))
+
+    def _log_a(self) -> jax.Array:
+        # Self-loops are expressed by segment durations; mask the diagonal.
+        masked = jnp.where(
+            jnp.eye(self.num_states, dtype=bool),
+            -jnp.inf,
+            self.transition_logits[...],
+        )
+        return jax.nn.log_softmax(masked, axis=-1)
+
+    def __call__(self, observations: jax.Array) -> jax.Array:
+        """Decoded states ``(B, T)`` (``hsmm.py:504-518``)."""
+        log_obs = jax.nn.log_softmax(
+            self.emission_net(observations), axis=-1
+        )
+        log_pi = jnp.full(
+            (self.num_states,), -math.log(self.num_states)
+        )
+        states, _ = hsmm_viterbi(
+            log_obs, self._log_a(), log_pi, self._duration_log_score()
+        )
+        return states
+
+    forward = __call__

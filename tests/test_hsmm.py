@@ -1,0 +1,260 @@
+"""HSMM / semi-Markov family tests.
+
+Mirrors the reference's test strategy (``tests/test_hsmm.py`` structural
+assertions: pmf validity, no-self-loop invariant, decode shapes, gradient
+flow) and adds a brute-force segmentation oracle the reference lacks —
+its own DP is the only definition of correctness it has.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from pytorch_hmm_tpu.core.hsmm import hsmm_forward, hsmm_viterbi
+from pytorch_hmm_tpu.models import (
+    AdaptiveDurationHSMM,
+    DurationConstrainedHMM,
+    DurationModel,
+    HSMMLayer,
+    SemiMarkovHMM,
+)
+
+
+# ---------------------------------------------------------------------------
+# Core kernel vs brute-force oracle
+# ---------------------------------------------------------------------------
+
+def _brute_force(log_obs, log_a, log_pi, log_dur):
+    """Enumerate every segmentation of one sequence (exponential; tiny T)."""
+    T, S = log_obs.shape
+    D = log_dur.shape[1]
+    best, best_path, total = -np.inf, None, -np.inf
+
+    def rec(t, s_prev, score, path):
+        nonlocal best, best_path, total
+        if t == T:
+            if score > best:
+                best, best_path = score, list(path)
+            total = np.logaddexp(total, score)
+            return
+        for s in range(S):
+            if s_prev is not None and (
+                s == s_prev or not np.isfinite(log_a[s_prev, s])
+            ):
+                continue
+            trans = log_pi[s] if s_prev is None else log_a[s_prev, s]
+            for d in range(1, min(D, T - t) + 1):
+                if not np.isfinite(log_dur[s, d - 1]):
+                    continue
+                e = log_obs[t:t + d, s].sum()
+                rec(t + d, s, score + trans + log_dur[s, d - 1] + e,
+                    path + [s] * d)
+
+    rec(0, None, 0.0, [])
+    return best, best_path, total
+
+
+@pytest.fixture(scope="module")
+def hsmm_problem():
+    rng = np.random.default_rng(3)
+    B, T, S, D = 2, 10, 3, 4
+    log_obs = rng.normal(size=(B, T, S)).astype(np.float32)
+    log_a = np.full((S, S), -np.inf, np.float32)
+    for i in range(S):
+        cols = [j for j in range(S) if j != i]
+        log_a[i, cols] = np.log(rng.dirichlet(np.ones(S - 1)))
+    log_pi = np.log(rng.dirichlet(np.ones(S))).astype(np.float32)
+    log_dur = np.log(rng.dirichlet(np.ones(D), size=S)).astype(np.float32)
+    return log_obs, log_a, log_pi, log_dur
+
+
+def test_hsmm_viterbi_matches_oracle(hsmm_problem):
+    log_obs, log_a, log_pi, log_dur = hsmm_problem
+    states, score = hsmm_viterbi(
+        jnp.asarray(log_obs), jnp.asarray(log_a),
+        jnp.asarray(log_pi), jnp.asarray(log_dur),
+    )
+    for b in range(log_obs.shape[0]):
+        best, path, _ = _brute_force(log_obs[b], log_a, log_pi, log_dur)
+        assert float(score[b]) == pytest.approx(best, abs=1e-4)
+        assert list(np.asarray(states[b])) == path
+
+
+def test_hsmm_forward_matches_oracle(hsmm_problem):
+    log_obs, log_a, log_pi, log_dur = hsmm_problem
+    _, log_z = hsmm_forward(
+        jnp.asarray(log_obs), jnp.asarray(log_a),
+        jnp.asarray(log_pi), jnp.asarray(log_dur),
+    )
+    for b in range(log_obs.shape[0]):
+        _, _, total = _brute_force(log_obs[b], log_a, log_pi, log_dur)
+        assert float(log_z[b]) == pytest.approx(total, abs=1e-3)
+
+
+def test_hsmm_min_duration_respected():
+    rng = np.random.default_rng(0)
+    log_obs = jnp.asarray(rng.normal(size=(1, 24, 3)), jnp.float32)
+    log_a = jnp.log(
+        jnp.asarray([[0, .5, .5], [.5, 0, .5], [.5, .5, 0]], jnp.float32)
+        + 1e-12
+    )
+    log_pi = jnp.log(jnp.full((3,), 1 / 3))
+    # durations 1..2 forbidden
+    log_dur = jnp.where(
+        jnp.arange(1, 7)[None, :] >= 3, jnp.log(0.25), -jnp.inf
+    ) * jnp.ones((3, 1))
+    states, _ = hsmm_viterbi(log_obs, log_a, log_pi, log_dur)
+    s = np.asarray(states[0])
+    runs = np.diff(np.flatnonzero(np.concatenate(([1], np.diff(s) != 0, [1]))))
+    assert (runs >= 3).all(), f"run lengths {runs} violate min_duration=3"
+
+
+# ---------------------------------------------------------------------------
+# HSMMLayer
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dist", ["gamma", "poisson", "weibull"])
+def test_hsmm_layer_decode_and_likelihood(dist):
+    m = HSMMLayer(
+        num_states=4, feature_dim=6, duration_distribution=dist,
+        max_duration=8, min_duration=2, rngs=nnx.Rngs(0),
+    )
+    obs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 30, 6)), jnp.float32
+    )
+    states, scores = m(obs)
+    assert states.shape == (2, 30)
+    assert np.isfinite(np.asarray(scores)).all()
+    ll = m.log_likelihood(obs)
+    assert np.isfinite(np.asarray(ll)).all()
+    assert (ll >= scores - 1e-3).all(), "marginal must dominate best path"
+
+
+def test_hsmm_layer_no_self_loops():
+    m = HSMMLayer(num_states=5, feature_dim=4, rngs=nnx.Rngs(0))
+    P = m.get_transition_matrix()
+    assert np.allclose(np.diagonal(np.asarray(P)), 0.0)
+    assert np.allclose(np.asarray(P).sum(-1), 1.0, atol=1e-5)
+
+
+def test_hsmm_layer_duration_pmf_and_expectations():
+    m = HSMMLayer(
+        num_states=3, feature_dim=4, duration_distribution="poisson",
+        max_duration=30, normalize_durations=True, rngs=nnx.Rngs(0),
+    )
+    p = np.asarray(m.get_duration_probabilities())
+    assert p.shape == (3, 30)
+    assert (p >= 0).all()
+    assert np.allclose(p.sum(-1), 1.0, atol=1e-4)
+    ed = np.asarray(m.get_expected_durations())
+    assert np.allclose(ed, 10.0, atol=1e-3)  # init lambda = 10
+
+
+def test_hsmm_layer_gradient_flow():
+    m = HSMMLayer(num_states=3, feature_dim=4, max_duration=6,
+                  rngs=nnx.Rngs(0))
+    obs = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 20, 4)), jnp.float32
+    )
+    grads = nnx.grad(lambda mm: mm.compute_loss(obs))(m)
+    leaves = jax.tree.leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_hsmm_generation():
+    m = HSMMLayer(num_states=3, feature_dim=4, max_duration=6,
+                  min_duration=2, rngs=nnx.Rngs(0))
+    states, obs = m.generate_sequence(40, key=jax.random.PRNGKey(0))
+    assert states.shape == (40,) and obs.shape == (40, 4)
+    s = np.asarray(states)
+    assert set(np.unique(s)) <= {0, 1, 2}
+    # interior runs obey min_duration
+    runs = np.diff(np.flatnonzero(np.concatenate(([1], np.diff(s) != 0, [1]))))
+    assert (runs[1:-1] >= 2).all() if len(runs) > 2 else True
+
+
+def test_duration_constrained_hmm():
+    m = DurationConstrainedHMM(
+        num_states=3, feature_dim=5, min_duration=2, max_duration=6,
+        rngs=nnx.Rngs(0),
+    )
+    obs = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 25, 5)), jnp.float32
+    )
+    states = m(obs)
+    assert states.shape == (2, 25)
+    assert np.asarray(states).max() < 3
+
+
+# ---------------------------------------------------------------------------
+# DurationModel / SemiMarkovHMM / AdaptiveDurationHSMM
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dt", ["gamma", "poisson", "gaussian", "neural"])
+def test_duration_model(dt):
+    dm = DurationModel(4, max_duration=10, distribution_type=dt,
+                       min_duration=2, rngs=nnx.Rngs(0))
+    full = dm(jnp.asarray([0, 1, 2]))
+    assert full.shape == (3, 10)
+    assert np.isneginf(np.asarray(full[:, 0])).all(), "d=1 < min_duration"
+    pair = dm(jnp.asarray([0, 1]), jnp.asarray([3, 5]))
+    assert pair.shape == (2,) and np.isfinite(np.asarray(pair)).all()
+    s = dm.sample(jnp.asarray([0, 1, 2, 3]), key=jax.random.PRNGKey(0))
+    assert bool((s >= 2).all()) and bool((s <= 10).all())
+
+
+def test_duration_model_unknown_type():
+    with pytest.raises(ValueError, match="banana"):
+        DurationModel(3, distribution_type="banana", rngs=nnx.Rngs(0))
+
+
+def test_semi_markov_forward_modes():
+    sm = SemiMarkovHMM(3, 5, max_duration=8, rngs=nnx.Rngs(0))
+    obs = jnp.asarray(
+        np.random.default_rng(4).normal(size=(16, 5)), jnp.float32
+    )
+    unsup = sm(obs)
+    assert np.isfinite(float(unsup["log_probability"][0]))
+    assert unsup["forward_variables"].shape == (1, 16, 3)
+
+    sup = sm(obs[None], jnp.asarray([[0, 1, 2]]), jnp.asarray([[5, 6, 5]]))
+    for k in ("log_probability", "log_observation", "log_duration",
+              "log_transition"):
+        assert np.isfinite(float(sup[k][0])), k
+    # supervised (one alignment) can never beat the marginal
+    assert float(sup["log_probability"][0]) <= float(
+        unsup["log_probability"][0]) + 1e-3
+
+
+def test_semi_markov_viterbi_rle():
+    sm = SemiMarkovHMM(3, 5, max_duration=8, rngs=nnx.Rngs(0))
+    obs = jnp.asarray(
+        np.random.default_rng(5).normal(size=(20, 5)), jnp.float32
+    )
+    states, durations, lp = sm.viterbi_decode(obs)
+    assert int(jnp.sum(durations)) == 20
+    assert np.isfinite(float(lp))
+    assert (np.diff(np.asarray(states)) != 0).all(), "RLE states must alternate"
+
+
+def test_semi_markov_sample():
+    sm = SemiMarkovHMM(3, 5, max_duration=6, rngs=nnx.Rngs(0))
+    states, durations, obs = sm.sample(4, max_length=30,
+                                       key=jax.random.PRNGKey(1))
+    assert states.shape == (4,) and durations.shape == (4,)
+    assert obs.shape[0] == int(jnp.sum(durations)) <= 30
+
+
+def test_adaptive_duration_hsmm():
+    ad = AdaptiveDurationHSMM(3, 5, context_dim=7, max_duration=8,
+                              rngs=nnx.Rngs(0))
+    ctx = jnp.asarray(np.random.default_rng(6).normal(size=(2, 7)), jnp.float32)
+    dp = ad.compute_contextual_duration_probs(jnp.asarray([0, 2]), ctx)
+    assert dp.shape == (2, 8)
+    assert np.allclose(np.exp(np.asarray(dp)).sum(-1), 1.0, atol=1e-5)
+    obs = jnp.asarray(np.random.default_rng(7).normal(size=(12, 5)), jnp.float32)
+    ll = ad.contextual_log_likelihood(obs, ctx[0])
+    assert np.isfinite(float(ll[0]))
