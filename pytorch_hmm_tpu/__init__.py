@@ -18,6 +18,15 @@ __version__ = "0.1.0"
 from .hmm import HMM, HMMJax, HMMPyTorch
 from . import core
 from . import durations
+from . import alignment
+from .alignment import (
+    CTCAligner,
+    CTCSegmentationAligner,
+    ConstrainedDTWAligner,
+    DTWAligner,
+    ctc_alignment_path,
+    dtw_alignment,
+)
 from .models import (
     AdaptiveDurationHSMM,
     ContextualNeuralHMM,
@@ -74,6 +83,14 @@ __all__ = [
     "NeuralObservationModel",
     "NeuralHMM",
     "ContextualNeuralHMM",
+    # alignment
+    "alignment",
+    "DTWAligner",
+    "ConstrainedDTWAligner",
+    "CTCAligner",
+    "CTCSegmentationAligner",
+    "dtw_alignment",
+    "ctc_alignment_path",
     # utils
     "AdaptiveTransitionMatrix",
     "AttentionTransition",

@@ -137,7 +137,9 @@ def _backtrace(choices: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
         return (jnp.maximum(ni, 0), jnp.maximum(nj, 0)), (i, j)
 
     _, (pi, pj) = jax.lax.scan(step, (N - 1, M - 1), None, length=L)
-    length = pi[0] + pj[0] + 1 - (pi[-1] + pj[-1])  # steps taken + 1
+    # True path length: cells emitted before freezing at the origin, plus
+    # the origin itself.
+    length = jnp.sum((pi + pj) > 0) + 1
     # Emitted first-to-origin; reverse to run origin-to-end.
     return pi[::-1], pj[::-1], length
 
