@@ -8,24 +8,53 @@ sharding over device meshes, static shapes throughout).
 
 The public API mirrors the reference package's surface
 (``pytorch_hmm/__init__.py:101-175``) so reference users can migrate
-without relearning names.
+without relearning names, and adds the distributed layer
+(``pytorch_hmm_tpu.parallel``) the reference lacks.
+
+Unlike the reference, importing this package has **no side effects** (the
+reference runs ``auto_configure()`` at import, ``__init__.py:476-477``);
+call :func:`pytorch_hmm_tpu.auto_configure` explicitly if desired.
 """
 
 from __future__ import annotations
 
 __version__ = "0.1.0"
 
-from .hmm import HMM, HMMJax, HMMPyTorch
-from . import core
-from . import durations
-from . import alignment
+from . import alignment, core, durations, metrics, parallel
 from .alignment import (
+    ConstrainedDTWAligner,
     CTCAligner,
     CTCSegmentationAligner,
-    ConstrainedDTWAligner,
     DTWAligner,
     ctc_alignment_path,
     dtw_alignment,
+)
+from .api import (
+    Config,
+    KOREAN_PHONEMES,
+    ModelFactory,
+    auto_configure,
+    check_optional_dependencies,
+    config,
+    create_korean_tts_hmm,
+    create_speech_hmm,
+    get_device_info,
+    get_speech_transitions,
+    run_quick_test,
+)
+from .hmm import HMM, HMMJax, HMMPyTorch
+from .metrics import (
+    alignment_accuracy,
+    boundary_accuracy,
+    comprehensive_speech_evaluation,
+    duration_accuracy,
+    f0_root_mean_square_error,
+    log_f0_rmse,
+    mel_cepstral_distortion,
+    perceptual_evaluation_speech_quality,
+    print_evaluation_summary,
+    save_evaluation_results,
+    spectral_distortion,
 )
 from .models import (
     AdaptiveDurationHSMM,
@@ -40,6 +69,11 @@ from .models import (
     NeuralObservationModel,
     NeuralTransitionModel,
     SemiMarkovHMM,
+)
+from .streaming import (
+    AdaptiveLatencyController,
+    StreamingHMMProcessor,
+    StreamingResult,
 )
 from .utils import (
     AdaptiveTransitionMatrix,
@@ -63,13 +97,25 @@ from .utils import (
     validate_transition_matrix,
 )
 
+
+def get_version() -> str:
+    """Package version (``__init__.py:379-381``)."""
+    return __version__
+
+
 __all__ = [
     "__version__",
+    "get_version",
+    # core classes
     "HMM",
     "HMMJax",
     "HMMPyTorch",
+    # submodules
     "core",
     "durations",
+    "alignment",
+    "metrics",
+    "parallel",
     # model layers
     "HMMLayer",
     "GaussianHMMLayer",
@@ -83,15 +129,42 @@ __all__ = [
     "NeuralObservationModel",
     "NeuralHMM",
     "ContextualNeuralHMM",
+    # streaming
+    "StreamingHMMProcessor",
+    "StreamingResult",
+    "AdaptiveLatencyController",
     # alignment
-    "alignment",
     "DTWAligner",
     "ConstrainedDTWAligner",
     "CTCAligner",
     "CTCSegmentationAligner",
     "dtw_alignment",
     "ctc_alignment_path",
-    # utils
+    # metrics
+    "mel_cepstral_distortion",
+    "f0_root_mean_square_error",
+    "log_f0_rmse",
+    "alignment_accuracy",
+    "boundary_accuracy",
+    "duration_accuracy",
+    "spectral_distortion",
+    "perceptual_evaluation_speech_quality",
+    "comprehensive_speech_evaluation",
+    "print_evaluation_summary",
+    "save_evaluation_results",
+    # api / config / factories
+    "Config",
+    "config",
+    "create_speech_hmm",
+    "create_korean_tts_hmm",
+    "get_speech_transitions",
+    "ModelFactory",
+    "KOREAN_PHONEMES",
+    "get_device_info",
+    "run_quick_test",
+    "check_optional_dependencies",
+    "auto_configure",
+    # transition toolbox
     "AdaptiveTransitionMatrix",
     "AttentionTransition",
     "align_sequences",

@@ -1,0 +1,552 @@
+"""Real-time streaming HMM decoding.
+
+Parity target: reference ``streaming.py`` — ``StreamingHMMProcessor``
+(chunked low-latency decoding with a feature ring buffer, lookahead,
+greedy or beam search carrying decoder state across chunks, async thread
+wrapper, perf stats, latency auto-tuning) plus
+``AdaptiveLatencyController`` and the ``StreamingResult`` dataclass.
+
+TPU-first design (SURVEY.md §7 principle 4):
+
+* the decoder step is a **pure jit-compiled function**
+  ``(carry, features) → (carry, outputs)`` with an explicit, fixed-shape
+  carry pytree (previous Viterbi state / fixed-width beam hypotheses) —
+  the reference mutates Python lists per frame inside ``torch.no_grad``
+  (``streaming.py:267-377``);
+* beam search is fixed-width ``top_k`` over a ``(W·S)`` score table per
+  frame, with a rolling ``(W, H)`` path history buffer — static shapes,
+  no Python hypothesis lists (``streaming.py:322-377``);
+* variable-length chunks are padded to a frame-granularity bucket so XLA
+  compiles a small, fixed set of step programs;
+* ``get_latency_breakdown`` reports **measured** emission vs decode
+  times, not hardcoded percentages (``streaming.py:485-503``).
+
+The async wrapper stays a thin host-side thread + queue pair, exactly as
+in the reference (``streaming.py:123-181``) — it is IO plumbing, not
+compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import warnings
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+__all__ = [
+    "StreamingResult",
+    "StreamingHMMProcessor",
+    "AdaptiveLatencyController",
+]
+
+
+@dataclass
+class StreamingResult:
+    """Per-chunk processing result (``streaming.py:23-32``)."""
+
+    decoded_states: Optional[jax.Array]
+    confidence: float
+    processing_time_ms: float
+    buffer_size: int
+    chunk_id: int
+    status: str
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+# Frame-granularity bucket for padded jit steps: every processed span is
+# padded up to a multiple of this, bounding the number of compiled programs.
+_PAD_GRANULE = 32
+
+
+class StreamingHMMProcessor(nnx.Module):
+    """Streaming chunked HMM decoder (``streaming.py:35-503``)."""
+
+    def __init__(
+        self,
+        num_states: int,
+        feature_dim: int,
+        chunk_size: int = 160,          # 10 ms @ 16 kHz
+        overlap_size: int = 80,
+        lookahead_frames: int = 5,
+        max_delay_frames: int = 50,
+        use_beam_search: bool = True,
+        beam_width: int = 8,
+        buffer_size: int = 1000,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        rngs = rngs or nnx.Rngs(0)
+        self.num_states = num_states
+        self.feature_dim = feature_dim
+        self.chunk_size = chunk_size
+        self.overlap_size = overlap_size
+        self.lookahead_frames = lookahead_frames
+        self.max_delay_frames = max_delay_frames
+        self.use_beam_search = use_beam_search
+        self.beam_width = min(beam_width, num_states)
+        self.buffer_size = buffer_size
+
+        self.transition_logits = nnx.Param(
+            jax.random.normal(rngs.params(), (num_states, num_states)) * 0.1
+        )
+        self.emission_hidden = nnx.Linear(feature_dim, 128, rngs=rngs)
+        self.emission_out = nnx.Linear(128, num_states, rngs=rngs)
+
+        self.reset_streaming_state()
+
+        # Performance monitoring (host-side).
+        self.processing_times: deque = deque(maxlen=1000)
+        self.emission_times: deque = deque(maxlen=1000)
+        self.decode_times: deque = deque(maxlen=1000)
+        self.chunk_counter = 0
+        self.total_frames_processed = 0
+
+        # Async plumbing (thin host-side wrapper, streaming.py:123-181).
+        self.processing_queue: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self.result_queue: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self.is_processing = False
+        self.processing_thread: Optional[threading.Thread] = None
+
+    # -- state ---------------------------------------------------------------
+    def reset_streaming_state(self):
+        """Reset all carried decoder state (``streaming.py:102-117``)."""
+        self._buffer = np.zeros((0, self.feature_dim), np.float32)
+        self.last_output_frame = -1
+        self.frames_dropped = 0
+        self.chunk_counter = 0
+        self.total_frames_processed = 0
+        # Greedy carry: previous state + validity flag.
+        self._prev_state = jnp.zeros((), jnp.int32)
+        self._has_prev = jnp.zeros((), jnp.bool_)
+        # Beam carry: (W,) scores, (W,) last states, (W, H) rolling paths,
+        # scalar path length. H covers the longest decodable span (a full
+        # buffer flush).
+        W = self.beam_width
+        H = self.max_delay_frames + self.lookahead_frames
+        init = -jnp.log(jnp.asarray(float(self.num_states)))
+        self._beam_scores = jnp.where(
+            jnp.arange(W) < self.num_states, init, -jnp.inf
+        )
+        self._beam_states = jnp.arange(W, dtype=jnp.int32) % self.num_states
+        self._beam_paths = jnp.zeros((W, H), jnp.int32)
+        self._beam_len = jnp.zeros((), jnp.int32)
+
+    # -- parameter views ------------------------------------------------------
+    def get_transition_matrix(self) -> jax.Array:
+        return jax.nn.softmax(self.transition_logits[...], axis=-1)
+
+    def _emission_log_probs(self, features: jax.Array) -> jax.Array:
+        h = jax.nn.relu(self.emission_hidden(features))
+        return jax.nn.log_softmax(self.emission_out(h), axis=-1)
+
+    # -- async wrapper ---------------------------------------------------------
+    def start_async_processing(self):
+        if self.is_processing:
+            return
+        self.is_processing = True
+        self.processing_thread = threading.Thread(
+            target=self._async_processing_loop, daemon=True
+        )
+        self.processing_thread.start()
+
+    def stop_async_processing(self):
+        self.is_processing = False
+        if self.processing_thread:
+            self.processing_thread.join()
+
+    def _async_processing_loop(self):
+        while self.is_processing:
+            try:
+                chunk = self.processing_queue.get(timeout=0.1)
+                result = self.process_chunk(chunk)
+                if not self.result_queue.full():
+                    self.result_queue.put(result)
+                self.processing_queue.task_done()
+            except queue.Empty:
+                continue
+            except Exception as e:  # pragma: no cover - defensive
+                warnings.warn(f"Error in async processing: {e}")
+
+    def add_audio_chunk_async(self, audio_chunk) -> bool:
+        """Enqueue a chunk; ``False`` when back-pressured
+        (``streaming.py:160-174``)."""
+        try:
+            self.processing_queue.put_nowait(audio_chunk)
+            return True
+        except queue.Full:
+            return False
+
+    def get_result_async(self) -> Optional[StreamingResult]:
+        try:
+            return self.result_queue.get_nowait()
+        except queue.Empty:
+            return None
+
+    # -- synchronous path -------------------------------------------------------
+    def process_chunk(self, audio_chunk) -> StreamingResult:
+        """Process one ``(chunk, feature_dim)`` block
+        (``streaming.py:183-265``)."""
+        start_time = time.perf_counter()
+        chunk = np.asarray(audio_chunk, np.float32)
+        self._buffer = np.concatenate([self._buffer, chunk], axis=0)
+        # Bound the buffer like the reference's deque(maxlen=...).
+        max_buf = self.max_delay_frames + self.lookahead_frames
+        if len(self._buffer) > max_buf:
+            drop = len(self._buffer) - max_buf
+            self._buffer = self._buffer[drop:]
+            self.last_output_frame -= drop
+            self.frames_dropped += drop
+
+        available = len(self._buffer)
+        required = self.chunk_size + self.lookahead_frames
+        if available < required:
+            ms = (time.perf_counter() - start_time) * 1e3
+            return StreamingResult(
+                None, 0.0, ms, available, self.chunk_counter, "buffering",
+                {"frames_needed": required - available},
+            )
+
+        start_frame = max(0, self.last_output_frame + 1)
+        end_frame = available - self.lookahead_frames
+        if end_frame <= start_frame:
+            ms = (time.perf_counter() - start_time) * 1e3
+            return StreamingResult(
+                None, 0.0, ms, available, self.chunk_counter,
+                "waiting_for_lookahead", {},
+            )
+
+        features = self._buffer[start_frame:end_frame]
+        states, confidence = self._decode_span(features)
+
+        self.last_output_frame = end_frame - 1
+        self.total_frames_processed += len(features)
+        ms = (time.perf_counter() - start_time) * 1e3
+        self.processing_times.append(ms)
+        self.chunk_counter += 1
+
+        frame_ms = len(features) * 10.0  # 100 fps features
+        rtf = frame_ms / ms if ms > 0 else float("inf")
+        return StreamingResult(
+            states,
+            float(jnp.mean(confidence)) if confidence is not None else 0.0,
+            ms,
+            available,
+            self.chunk_counter,
+            "decoded",
+            {
+                "frames_processed": len(features),
+                "real_time_factor": rtf,
+                "buffer_utilization": available / max_buf,
+            },
+        )
+
+    def _decode_span(self, features: np.ndarray):
+        """Pad to a bucket, run the jitted step, trim, update carry."""
+        n = len(features)
+        padded = -((-n) // _PAD_GRANULE) * _PAD_GRANULE
+        feats = np.zeros((padded, self.feature_dim), np.float32)
+        feats[:n] = features
+        feats = jnp.asarray(feats)
+
+        t0 = time.perf_counter()
+        log_obs = _emit(
+            feats,
+            self.emission_hidden.kernel[...], self.emission_hidden.bias[...],
+            self.emission_out.kernel[...], self.emission_out.bias[...],
+        )
+        log_obs.block_until_ready()
+        t1 = time.perf_counter()
+
+        log_a = jnp.log(self.get_transition_matrix() + 1e-8)
+        if self.use_beam_search:
+            carry = (self._beam_scores, self._beam_states,
+                     self._beam_paths, self._beam_len)
+            new_carry, states_pad, conf_pad = _beam_step(
+                log_a, log_obs, jnp.int32(n), carry
+            )
+            (self._beam_scores, self._beam_states,
+             self._beam_paths, self._beam_len) = new_carry
+        else:
+            carry = (self._prev_state, self._has_prev)
+            new_carry, states_pad, conf_pad = _greedy_step(
+                log_a, log_obs, jnp.int32(n), carry
+            )
+            self._prev_state, self._has_prev = new_carry
+        states_pad.block_until_ready()
+        t2 = time.perf_counter()
+        self.emission_times.append((t1 - t0) * 1e3)
+        self.decode_times.append((t2 - t1) * 1e3)
+        return states_pad[:n], conf_pad[:n]
+
+    def flush_buffer(self) -> Optional[StreamingResult]:
+        """Decode everything left in the buffer (``streaming.py:379-407``)."""
+        start_frame = max(0, self.last_output_frame + 1)
+        if len(self._buffer) == 0 or start_frame >= len(self._buffer):
+            return None
+        features = self._buffer[start_frame:]
+        states, confidence = self._decode_span(features)
+        self.last_output_frame = len(self._buffer) - 1
+        self.total_frames_processed += len(features)
+        self.chunk_counter += 1
+        return StreamingResult(
+            states, float(jnp.mean(confidence)), 0.0, 0, self.chunk_counter,
+            "flushed", {"final_chunk": True},
+        )
+
+    # -- performance ------------------------------------------------------------
+    def get_performance_stats(self) -> Dict[str, Any]:
+        """(``streaming.py:409-442``)."""
+        if not self.processing_times:
+            return {"message": "No processing data available"}
+        times = list(self.processing_times)
+        avg = sum(times) / len(times)
+        frame_ms = self.chunk_size * 10.0
+        return {
+            "total_chunks_processed": self.chunk_counter,
+            "total_frames_processed": self.total_frames_processed,
+            "avg_processing_time_ms": avg,
+            "max_processing_time_ms": max(times),
+            "min_processing_time_ms": min(times),
+            "std_processing_time_ms": float(np.std(times)),
+            "real_time_factor": frame_ms / avg if avg > 0 else float("inf"),
+            "throughput_fps": (
+                self.total_frames_processed / (sum(times) / 1e3)
+                if times else 0.0
+            ),
+            "buffer_utilization": len(self._buffer)
+            / (self.max_delay_frames + self.lookahead_frames),
+            "chunk_size": self.chunk_size,
+            "lookahead_frames": self.lookahead_frames,
+            "beam_width": self.beam_width if self.use_beam_search else 1,
+            "processing_mode": (
+                "beam_search" if self.use_beam_search else "greedy"
+            ),
+        }
+
+    def optimize_for_latency(self, target_latency_ms: float = 50.0):
+        """Auto-tune beam width / mode / chunk size
+        (``streaming.py:444-483``)."""
+        stats = self.get_performance_stats()
+        if "avg_processing_time_ms" not in stats:
+            warnings.warn("No performance data available for optimization")
+            return
+        current = stats["avg_processing_time_ms"]
+        if current > target_latency_ms:
+            if self.use_beam_search and self.beam_width > 2:
+                self.beam_width -= 1
+                self._resize_beam()
+            elif self.use_beam_search:
+                self.use_beam_search = False
+            elif self.chunk_size > 80:
+                self.chunk_size = max(80, int(self.chunk_size * 0.8))
+        elif current < target_latency_ms * 0.5:
+            if not self.use_beam_search:
+                self.use_beam_search = True
+                self.beam_width = min(4, self.num_states)
+                self._resize_beam()
+            elif self.beam_width < 8:
+                self.beam_width = min(self.beam_width + 1, self.num_states)
+                self._resize_beam()
+
+    def _resize_beam(self):
+        """Re-shape the beam carry after a width change, keeping the best
+        existing hypotheses."""
+        W = self.beam_width
+        H = self.max_delay_frames + self.lookahead_frames
+        old_w = self._beam_scores.shape[0]
+        if old_w == W:
+            return
+        if W < old_w:
+            top = jnp.argsort(-self._beam_scores)[:W]
+            self._beam_scores = self._beam_scores[top]
+            self._beam_states = self._beam_states[top]
+            self._beam_paths = self._beam_paths[top]
+        else:
+            pad = W - old_w
+            self._beam_scores = jnp.concatenate(
+                [self._beam_scores, jnp.full((pad,), -jnp.inf)]
+            )
+            self._beam_states = jnp.concatenate(
+                [self._beam_states, jnp.zeros((pad,), jnp.int32)]
+            )
+            self._beam_paths = jnp.concatenate(
+                [self._beam_paths, jnp.zeros((pad, H), jnp.int32)]
+            )
+
+    def get_latency_breakdown(self) -> Dict[str, float]:
+        """Measured emission/decode split — real numbers, unlike the
+        reference's hardcoded percentages (``streaming.py:485-503``)."""
+        if not self.processing_times:
+            return {}
+        total = sum(self.processing_times) / len(self.processing_times)
+        emit = (
+            sum(self.emission_times) / len(self.emission_times)
+            if self.emission_times else 0.0
+        )
+        dec = (
+            sum(self.decode_times) / len(self.decode_times)
+            if self.decode_times else 0.0
+        )
+        return {
+            "emission_computation": emit,
+            "viterbi_decoding": dec,
+            "bookkeeping": max(total - emit - dec, 0.0),
+            "total": total,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Jitted decoder steps (pure; carry in, carry out)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _emit(feats, w1, b1, w2, b2):
+    h = jax.nn.relu(feats @ w1 + b1)
+    return jax.nn.log_softmax(h @ w2 + b2, axis=-1)
+
+
+@jax.jit
+def _greedy_step(log_a, log_obs, n_valid, carry):
+    """Frame-greedy decoding continuing from the carried state
+    (``streaming.py:267-320`` semantics: argmax per frame given the
+    previous chosen state, not a full Viterbi)."""
+    S = log_a.shape[0]
+    prev_state, has_prev = carry
+
+    def step(c, xs):
+        prev, has, t = c
+        lo_t = xs
+        first = lo_t - jnp.log(jnp.asarray(float(S)))
+        cont = log_a[prev] + lo_t
+        scores = jnp.where(has, cont, first)
+        s = jnp.argmax(scores).astype(jnp.int32)
+        sc = scores[s]
+        valid = t < n_valid
+        new_prev = jnp.where(valid, s, prev)
+        new_has = has | valid
+        return (new_prev, new_has, t + 1), (s, sc)
+
+    (prev_state, has_prev, _), (states, scores) = jax.lax.scan(
+        step, (prev_state, has_prev, jnp.int32(0)), log_obs
+    )
+    return (prev_state, has_prev), states, jnp.exp(scores)
+
+
+@jax.jit
+def _beam_step(log_a, log_obs, n_valid, carry):
+    """Fixed-width beam search with carried hypotheses
+    (``streaming.py:322-377``)."""
+    S = log_a.shape[0]
+    scores, last_states, paths, path_len = carry
+    W, H = paths.shape
+
+    def step(c, xs):
+        sc, ls, pt, pl, t = c
+        lo_t = xs
+        first = sc[:, None] + lo_t[None, :]                      # (W, S)
+        cont = sc[:, None] + log_a[ls] + lo_t[None, :]
+        table = jnp.where(pl == 0, first, cont).reshape(-1)      # (W·S,)
+        top, idx = jax.lax.top_k(table, W)
+        parent = (idx // S).astype(jnp.int32)
+        new_state = (idx % S).astype(jnp.int32)
+        # Roll the path history left by one and append.
+        new_paths = jnp.concatenate(
+            [pt[parent][:, 1:], new_state[:, None]], axis=1
+        )
+        valid = t < n_valid
+        sc = jnp.where(valid, top, sc)
+        ls = jnp.where(valid, new_state, ls)
+        pt = jnp.where(valid, new_paths, pt)
+        pl = jnp.where(valid, jnp.minimum(pl + 1, H), pl)
+        return (sc, ls, pt, pl, t + 1), None
+
+    (scores, last_states, paths, path_len, _), _ = jax.lax.scan(
+        step, (scores, last_states, paths, path_len, jnp.int32(0)), log_obs
+    )
+    best = jnp.argmax(scores)
+    T_pad = log_obs.shape[0]
+    # The last n_valid decoded states live at the tail of the history.
+    tail = paths[best]  # (H,)
+    idx = H - n_valid + jnp.arange(T_pad)
+    states = tail[jnp.clip(idx, 0, H - 1)]
+    conf = jnp.full(
+        (T_pad,),
+        jnp.exp(scores[best] / jnp.maximum(path_len, 1).astype(jnp.float32)),
+    )
+    return (scores, last_states, paths, path_len), states, conf
+
+
+class AdaptiveLatencyController:
+    """Feedback controller over recent chunk latencies
+    (``streaming.py:506-592``)."""
+
+    def __init__(
+        self,
+        initial_chunk_size: int = 160,
+        min_chunk_size: int = 80,
+        max_chunk_size: int = 320,
+        target_latency_ms: float = 50.0,
+        adaptation_rate: float = 0.1,
+    ):
+        self.chunk_size = initial_chunk_size
+        self.min_chunk_size = min_chunk_size
+        self.max_chunk_size = max_chunk_size
+        self.target_latency_ms = target_latency_ms
+        self.adaptation_rate = adaptation_rate
+        self.latency_history: deque = deque(maxlen=100)
+        self.last_adjustment_time = 0.0
+
+    def update(
+        self, processing_time_ms: float, buffer_size: int
+    ) -> Dict[str, Any]:
+        """Feed one latency sample; returns recommended parameter changes
+        (1 s adjustment cooldown, ``streaming.py:544-546``)."""
+        self.latency_history.append(processing_time_ms)
+        now = time.time()
+        if now - self.last_adjustment_time < 1.0:
+            return {}
+        if len(self.latency_history) < 10:
+            return {}
+
+        recent = list(self.latency_history)[-20:]
+        avg = sum(recent) / len(recent)
+        var = float(np.var(recent))
+        rec: Dict[str, Any] = {}
+
+        if avg > self.target_latency_ms * 1.2:
+            if self.chunk_size > self.min_chunk_size:
+                self.chunk_size = max(
+                    self.min_chunk_size,
+                    int(self.chunk_size * (1 - self.adaptation_rate)),
+                )
+                rec["chunk_size"] = self.chunk_size
+            rec["beam_width"] = 3
+            rec["use_beam_search"] = avg <= self.target_latency_ms * 2
+        elif avg < self.target_latency_ms * 0.6 and var < 10.0:
+            if self.chunk_size < self.max_chunk_size and buffer_size > 100:
+                self.chunk_size = min(
+                    self.max_chunk_size,
+                    int(self.chunk_size * (1 + self.adaptation_rate)),
+                )
+                rec["chunk_size"] = self.chunk_size
+            rec["beam_width"] = 6
+            rec["use_beam_search"] = True
+        elif var > 25.0:
+            rec["use_beam_search"] = False
+            self.chunk_size = max(
+                self.min_chunk_size, int(self.chunk_size * 0.9)
+            )
+            rec["chunk_size"] = self.chunk_size
+
+        if rec:
+            self.last_adjustment_time = now
+        return rec
