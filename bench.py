@@ -7,10 +7,16 @@ Prints ONE JSON line:
     {"metric": ..., "value": <real-time factor>, "unit": "x_realtime",
      "vs_baseline": <ours / reference RTX-3060 number>}
 
-Real-time factor = total audio seconds decoded per wall-second, with the
-standard 10 ms frame hop. The reference reports 3.2 ms latency for this
-workload on an RTX 3060 (PERFORMANCE.md:11) → RTF_ref = 32·1000·0.01 /
-0.0032 = 100000. vs_baseline is our RTF divided by that.
+Real-time factor = total audio seconds decoded per wall-second of device
+time, with the standard 10 ms frame hop. The reference reports 3.2 ms
+latency for this workload on an RTX 3060 (PERFORMANCE.md:11).
+
+Timing methodology: the remote-TPU runtime acknowledges dispatches
+asynchronously (``block_until_ready`` returns before execution — measured
+~1 ns/step otherwise, which is physically impossible for a serial scan),
+so the decode is chained ``R`` times through a data dependency inside one
+jitted ``fori_loop`` and the (tiny) result is fetched once; per-call
+device time = total / R, with the host↔device round-trip amortized away.
 """
 
 from __future__ import annotations
@@ -30,9 +36,12 @@ COMPONENTS = 4
 DIM = 80
 FRAME_SEC = 0.01
 REF_LATENCY_SEC = 3.2e-3  # RTX 3060, PERFORMANCE.md:11
+REPS = 20
 
 
 def main():
+    import numpy as np
+
     from pytorch_hmm_tpu.models import MixtureGaussianHMMLayer
 
     model = MixtureGaussianHMMLayer(
@@ -44,26 +53,26 @@ def main():
     )
     graphdef, state = nnx.split(model)
 
-    @jax.jit
-    def decode(state, obs):
+    def decode_once(state, obs):
         m = nnx.merge(graphdef, state)
-        return m(obs, return_log_probs=True)
+        states, scores = m(obs, return_log_probs=True)
+        # Tiny summary: forces full execution, costs ~nothing to fetch.
+        return jnp.sum(scores) + jnp.sum(states[:, -1])
+
+    @jax.jit
+    def decode_chain(state, obs):
+        def body(i, acc):
+            return acc + decode_once(state, obs + 0.0 * acc)
+        return jax.lax.fori_loop(0, REPS, body, 0.0)
 
     key = jax.random.PRNGKey(0)
     obs = jax.random.normal(key, (BATCH, T, DIM), jnp.float32)
 
-    # Warmup/compile.
-    states, scores = decode(state, obs)
-    jax.block_until_ready((states, scores))
-
-    reps = 20
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = decode(state, obs)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    latency = sorted(times)[len(times) // 2]  # median
+    np.asarray(decode_chain(state, obs))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(decode_chain(state, obs))
+    total = time.perf_counter() - t0
+    latency = total / REPS
 
     audio_sec = BATCH * T * FRAME_SEC
     rtf = audio_sec / latency
@@ -76,7 +85,7 @@ def main():
     }
     print(
         f"device={jax.devices()[0].platform} latency={latency*1e3:.3f}ms "
-        f"reps={reps}",
+        f"reps={REPS} (chained on-device)",
         file=sys.stderr,
     )
     print(json.dumps(result))

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 __version__ = "0.1.0"
 
-from . import alignment, core, durations, metrics, parallel
+from . import alignment, checkpoint, core, durations, metrics, ops, parallel, profiling
 from .alignment import (
     ConstrainedDTWAligner,
     CTCAligner,
@@ -29,6 +29,13 @@ from .alignment import (
     ctc_alignment_path,
     dtw_alignment,
 )
+from .checkpoint import (
+    load_checkpoint,
+    restore_streaming_session,
+    save_checkpoint,
+    streaming_session_state,
+)
+from .profiling import benchmark_op, device_time, trace
 from .api import (
     Config,
     KOREAN_PHONEMES,
@@ -116,6 +123,17 @@ __all__ = [
     "alignment",
     "metrics",
     "parallel",
+    "ops",
+    "checkpoint",
+    "profiling",
+    # checkpoint / profiling helpers
+    "save_checkpoint",
+    "load_checkpoint",
+    "streaming_session_state",
+    "restore_streaming_session",
+    "device_time",
+    "benchmark_op",
+    "trace",
     # model layers
     "HMMLayer",
     "GaussianHMMLayer",

@@ -27,6 +27,7 @@ from flax import nnx
 
 from .. import core
 from ..core.semiring import safe_log
+from ..ops import auto_log_likelihood, auto_viterbi
 from ..emissions import gaussian_log_probs
 from ..utils import create_left_to_right_matrix, create_transition_matrix
 from .common import Buffer, TrainMode
@@ -118,7 +119,7 @@ class HMMLayer(TrainMode):
             posteriors = jnp.exp(log_gamma)
             alignment = jnp.argmax(posteriors, axis=-1)
         else:
-            states = core.viterbi(log_obs, log_a, log_pi, return_score=False)
+            states, _ = auto_viterbi(log_obs, log_a, log_pi)
             posteriors = jax.nn.one_hot(states, self.num_states)
             alignment = states
 
@@ -146,7 +147,7 @@ class HMMLayer(TrainMode):
             return -jnp.mean(
                 jnp.take_along_axis(lg, tgt[:, None], axis=-1)
             )
-        ll = core.log_likelihood(log_obs, log_a, log_pi)
+        ll = auto_log_likelihood(log_obs, log_a, log_pi)
         return -jnp.mean(ll)
 
     def align(self, observations: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -154,7 +155,7 @@ class HMMLayer(TrainMode):
         (``hmm_layer.py:175-191``)."""
         log_obs, batched = self._prep(observations)
         log_a, log_pi = self._log_params()
-        states, score = core.viterbi(log_obs, log_a, log_pi)
+        states, score = auto_viterbi(log_obs, log_a, log_pi)
         if not batched:
             return states[0], score[0]
         return states, score
@@ -229,7 +230,7 @@ class GaussianHMMLayer(TrainMode):
             log_gamma, *_ = core.forward_backward(log_obs, log_a, log_pi)
             posteriors = jnp.exp(log_gamma)
         else:
-            states = core.viterbi(log_obs, log_a, log_pi, return_score=False)
+            states, _ = auto_viterbi(log_obs, log_a, log_pi)
             posteriors = jax.nn.one_hot(states, self.num_states)
         return posteriors if batched else posteriors[0]
 
@@ -241,4 +242,4 @@ class GaussianHMMLayer(TrainMode):
         obs = observations if observations.ndim == 3 else observations[None]
         log_obs = self._compute_gaussian_log_probs(obs)
         log_a, log_pi = self.hmm_layer._log_params()
-        return -jnp.mean(core.log_likelihood(log_obs, log_a, log_pi))
+        return -jnp.mean(auto_log_likelihood(log_obs, log_a, log_pi))

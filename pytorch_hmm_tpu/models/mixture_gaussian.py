@@ -29,6 +29,7 @@ from flax import nnx
 
 from .. import core
 from ..core.semiring import logsumexp, safe_log
+from ..ops import auto_log_likelihood, auto_viterbi
 from ..emissions import flat_dim, gmm_component_log_probs, tril_from_flat
 from .common import Buffer, TrainMode
 
@@ -136,7 +137,7 @@ class MixtureGaussianHMMLayer(TrainMode):
         """Viterbi decode: ``(decoded_states (B, T), seq_log_probs (B,)|None)``
         (``mixture_gaussian.py:340-365``)."""
         log_obs = self.get_observation_log_probs(observations)
-        states, score = core.viterbi(log_obs, self._log_a(), self._log_pi())
+        states, score = auto_viterbi(log_obs, self._log_a(), self._log_pi())
         return (states, score) if return_log_probs else (states, None)
 
     forward = __call__
@@ -144,7 +145,7 @@ class MixtureGaussianHMMLayer(TrainMode):
     def log_likelihood(self, observations: jax.Array) -> jax.Array:
         """Marginal sequence log-likelihood ``(B,)`` via the forward pass."""
         log_obs = self.get_observation_log_probs(observations)
-        return core.log_likelihood(log_obs, self._log_a(), self._log_pi())
+        return auto_log_likelihood(log_obs, self._log_a(), self._log_pi())
 
     def compute_loss(self, observations: jax.Array) -> jax.Array:
         """NLL for gradient training."""

@@ -1,0 +1,642 @@
+"""Pallas TPU kernels for the HMM time scans.
+
+Why: the XLA ``lax.scan`` path costs ~2.3 µs per time step on TPU (loop
+dispatch overhead; measured on-chip — see ``ops/README`` note in the
+module docstring history). The DP step itself is tiny (a ``(B, K)``
+logsumexp-matvec), so the loop overhead dominates by ~20×. These kernels
+run the whole T loop **inside one Pallas program**: observation frames
+stream HBM→VMEM in double-buffered chunks, the ``(B_tile, K)`` state
+vector lives in VMEM, and the per-frame contraction runs on the MXU via
+the scaling identity::
+
+    logsumexp_i(alpha_i + log_a[i, j])
+      = c + log( (exp(alpha - c) @ exp(log_a))[j] ),   c = max_i alpha_i
+
+``exp(log_a)`` is the probability-space transition matrix, precomputed
+once per kernel launch; the per-frame work is one exp, one
+``(B_tile, K) @ (K, K)`` matmul (MXU), one log — the same float32
+precision envelope as a max-shifted logsumexp.
+
+Layout: K is padded to the 128-lane width, batch is tiled to the f32
+sublane count (8). Grid is over batch tiles only — time must stay
+sequential inside the kernel; batch tiles are embarrassingly parallel.
+
+All kernels run in ``interpret`` mode off-TPU, so the same tests cover
+CPU and TPU.
+
+Replaces (performance-wise) the hot loops of reference ``hmm.py:95-117``
+and ``hmm.py:162-178``; numerics match ``core.fb``/``core.viterbi``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_forward", "pallas_backward", "pallas_viterbi"]
+
+LANES = 128
+SUBLANES = 8
+_NEG = -1e30
+
+
+def _pad_to(x, size, axis, value):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _ceil_to(n, m):
+    return -(-n // m) * m
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _forward_kernel(
+    lo_hbm,      # (B, T, K) HBM — full array; batch offset from program_id
+    pa_ref,      # (K, K) VMEM — exp(log_a), rows padded with 0
+    lpi_ref,     # (1, K) VMEM
+    alpha_out,   # (B, T, K) HBM
+    lz_ref,      # (Bt, 1) VMEM out
+    *,
+    t_chunk: int,
+    T: int,
+):
+    Bt = lz_ref.shape[0]
+    K = pa_ref.shape[1]
+    n_chunks = T // t_chunk
+    b0 = pl.program_id(0) * Bt
+
+    def body(obs_buf, stage_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
+                obs_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                stage_buf.at[slot],
+                alpha_out.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                out_sems.at[slot],
+            )
+
+        in_dma(0, 0).start()
+
+        def chunk_body(c, alpha):
+            slot = c % 2
+            # Prefetch the next chunk while this one computes.
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                in_dma((c + 1) % 2, c + 1).start()
+
+            in_dma(slot, c).wait()
+            # The staging buffer for this slot must have drained from the
+            # previous round before we overwrite it.
+            @pl.when(c >= 2)
+            def _():
+                out_dma(slot, c - 2).wait()
+
+            def frame(tf, alpha):
+                lo_t = obs_buf[slot, :, tf, :]  # (Bt, K)
+                t = c * t_chunk + tf
+
+                cmax = jnp.max(alpha, axis=-1, keepdims=True)
+                p = jnp.exp(alpha - cmax)
+                # HIGHEST precision: full-f32 MXU passes; default would
+                # truncate inputs to bf16 and cost ~2e-2 absolute error.
+                s = jnp.dot(
+                    p, pa_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                from_prev = lo_t + cmax + jnp.log(s)
+                first = lpi_ref[0, :][None, :] + lo_t
+                alpha = jnp.where(t == 0, first, from_prev)
+                stage_buf[slot, :, tf, :] = alpha
+                return alpha
+
+            alpha = jax.lax.fori_loop(0, t_chunk, frame, alpha)
+            out_dma(slot, c).start()
+            return alpha
+
+        alpha0 = jnp.full((Bt, K), _NEG, jnp.float32)
+        alpha = jax.lax.fori_loop(0, n_chunks, chunk_body, alpha0)
+
+        # Drain outstanding stores.
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+        cmax = jnp.max(alpha, axis=-1, keepdims=True)
+        lz = cmax[:, 0] + jnp.log(jnp.sum(jnp.exp(alpha - cmax), axis=-1))
+        lz_ref[:, 0] = lz
+
+    pl.run_scoped(
+        body,
+        obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        stage_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk", "b_tile"))
+def pallas_forward(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    t_chunk: int = 256,
+    b_tile: int = SUBLANES,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward algorithm on the Pallas scan kernel.
+
+    Args/returns match ``core.forward_log``: ``(log_alpha (B, T, K),
+    log_z (B,))``. K must be ≤ 128 (one lane tile); larger K falls back
+    to the caller's responsibility.
+    """
+    B, T, K = log_obs.shape
+    if K > LANES:
+        raise ValueError(f"pallas_forward supports K <= {LANES}, got {K}")
+
+    Kp = LANES
+    Tp = _ceil_to(T, t_chunk)
+    Bp = _ceil_to(B, b_tile)
+
+    lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
+    # Padded frames: identity steps. Using obs=0 on padded frames would
+    # corrupt alpha; instead make padded frames uniform-0 on real states
+    # only for the final lz (we read lz from the scan end, so pad frames
+    # must be neutral). A frame of all-zero log-obs multiplies alpha by
+    # the transition matrix only — harmless for argmax but changes lz.
+    # Simplest exact scheme: pad with zeros and read alpha at the true
+    # final frame on the host side.
+    lo = _pad_to(lo, Tp, 1, 0.0)
+    lo = _pad_to(lo, Bp, 0, 0.0)
+
+    la = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
+    la = _pad_to(la, Kp, 1, _NEG)
+    pa = jnp.exp(la)  # padded rows/cols become 0 — absorbing nothing
+    lpi = _pad_to(log_pi.astype(jnp.float32), Kp, 0, _NEG)[None, :]
+
+    nb = Bp // b_tile
+    grid = (nb,)
+    alpha_p, lz_p = pl.pallas_call(
+        functools.partial(_forward_kernel, t_chunk=t_chunk, T=Tp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(lo, pa, lpi)
+
+    log_alpha = alpha_p[:B, :T, :K]
+    # lz from the true final frame (padding-exact).
+    last = log_alpha[:, -1, :]
+    lz = jax.scipy.special.logsumexp(last, axis=-1)
+    return log_alpha, lz
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _backward_kernel(
+    lo_hbm,      # (B, Tp, K) HBM
+    pa_t_ref,    # (K, K) VMEM — exp(log_a) TRANSPOSED
+    beta_out,    # (B, Tp, K) HBM
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    b_tile: int,
+):
+    Bt = b_tile
+    K = pa_t_ref.shape[1]
+    n_chunks = t_total // t_chunk
+    b0 = pl.program_id(0) * Bt
+
+    def body(obs_buf, stage_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
+                obs_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                stage_buf.at[slot],
+                beta_out.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                out_sems.at[slot],
+            )
+
+        # Chunks processed in reverse order: chunk index r goes 0..n-1
+        # over actual chunk (n_chunks - 1 - r).
+        in_dma(0, n_chunks - 1).start()
+
+        def chunk_body(r, carry):
+            beta, lo_next = carry
+            c = n_chunks - 1 - r
+            slot = r % 2
+
+            @pl.when(r + 1 < n_chunks)
+            def _():
+                in_dma((r + 1) % 2, c - 1).start()
+
+            in_dma(slot, c).wait()
+
+            @pl.when(r >= 2)
+            def _():
+                out_dma(slot, n_chunks - 1 - (r - 2)).wait()
+
+            def frame(i, carry):
+                beta, lo_next = carry
+                tf = t_chunk - 1 - i
+                t = c * t_chunk + tf
+                lo_t = obs_buf[slot, :, tf, :]
+                # beta_t = log( P @ exp(lo_{t+1} + beta_{t+1}) ) (shifted)
+                v = lo_next + beta
+                cmax = jnp.max(v, axis=-1, keepdims=True)
+                cmax = jnp.maximum(cmax, _NEG)  # guard all -inf rows
+                p = jnp.exp(v - cmax)
+                s = jnp.dot(
+                    p, pa_t_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                prev = cmax + jnp.log(s)
+                # Anchor beta = 0 at the TRUE final frame; padded frames
+                # beyond it produce garbage that the caller slices away.
+                beta_t = jnp.where(
+                    t == t_true - 1, jnp.zeros_like(prev), prev
+                )
+                stage_buf[slot, :, tf, :] = beta_t
+                return beta_t, lo_t
+
+            carry = jax.lax.fori_loop(0, t_chunk, frame, (beta, lo_next))
+            out_dma(slot, c).start()
+            return carry
+
+        beta0 = jnp.zeros((Bt, K), jnp.float32)
+        lo0 = jnp.zeros((Bt, K), jnp.float32)
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (beta0, lo0))
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, 1).wait()
+
+        out_dma((n_chunks - 1) % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        stage_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk", "b_tile"))
+def pallas_backward(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    t_chunk: int = 256,
+    b_tile: int = SUBLANES,
+) -> jax.Array:
+    """Backward algorithm: ``log_beta (B, T, K)`` (cf. ``core.backward_log``).
+
+    T-padding is exact: the kernel anchors ``beta = 0`` at the *true*
+    final frame (``t_true - 1``); padded frames past it are computed
+    first in the reverse sweep, produce garbage, and are sliced away —
+    they cannot influence earlier frames because the anchor resets the
+    carry.
+    """
+    B, T, K = log_obs.shape
+    if K > LANES:
+        raise ValueError(f"pallas_backward supports K <= {LANES}, got {K}")
+
+    Kp = LANES
+    Tp = _ceil_to(T, t_chunk)
+    Bp = _ceil_to(B, b_tile)
+
+    lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
+    lo = _pad_to(lo, Tp, 1, 0.0)
+    lo = _pad_to(lo, Bp, 0, 0.0)
+
+    la = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
+    la = _pad_to(la, Kp, 1, _NEG)
+    pa_t = jnp.exp(la).T
+
+    nb = Bp // b_tile
+    beta_p = pl.pallas_call(
+        functools.partial(
+            _backward_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
+            b_tile=b_tile,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+        interpret=_use_interpret(),
+    )(lo, pa_t)
+    return beta_p[:B, :T, :K]
+
+
+# ---------------------------------------------------------------------------
+# Viterbi (max-product + on-chip backtrace)
+# ---------------------------------------------------------------------------
+
+def _viterbi_kernel(
+    lo_hbm,      # (B, Tp, K) HBM
+    la_ref,      # (Ks, K) VMEM log transitions (sublane-packed rows)
+    la_t_ref,    # (K, K) VMEM log transitions TRANSPOSED (for column gather)
+    lpi_ref,     # (1, K) VMEM
+    delta_hbm,   # (B, Tp, K) HBM f32 workspace (also an output)
+    states_out,  # (B, Tp, K) HBM int32 one-hot states
+    score_ref,   # (Bt, 1) VMEM
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    k_sub: int,
+):
+    """Two-phase Viterbi.
+
+    Phase 1 stores only the delta vectors (2 VPU passes per frame:
+    broadcast-add + max — no argmax in the hot loop). Phase 2 walks
+    backwards recomputing each frame's single needed backpointer:
+    the transition column ``la[:, s_t]`` is gathered with a one-hot
+    matmul on the MXU and the argmax runs on a (Bt, K) vector.
+    """
+    Bt = score_ref.shape[0]
+    K = la_ref.shape[1]
+    n_chunks = t_total // t_chunk
+    b0 = pl.program_id(0) * Bt
+    # All phase-2 state arithmetic stays in f32 (Mosaic legalizes float
+    # vector ops far more completely than int vectors); indices are small
+    # integers represented exactly.
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (Bt, K), 1
+    ).astype(jnp.float32)
+
+    def body(obs_buf, dstage_buf, dback_buf, st_buf,
+             in_sems, dout_sems, din_sems, st_sems):
+        # ---- Phase 1: forward trellis, delta chunks streamed to HBM ----
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
+                obs_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def delta_out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                dstage_buf.at[slot],
+                delta_hbm.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                dout_sems.at[slot],
+            )
+
+        in_dma(0, 0).start()
+
+        def chunk_body(c, delta):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                in_dma((c + 1) % 2, c + 1).start()
+
+            in_dma(slot, c).wait()
+
+            @pl.when(c >= 2)
+            def _():
+                delta_out_dma(slot, c - 2).wait()
+
+            def frame(tf, delta):
+                lo_t = obs_buf[slot, :, tf, :]
+                t = c * t_chunk + tf
+                # scores[b, i, j] = delta[b, i] + la[i, j]; i only spans
+                # the k_sub packed sublanes (true K rounded to 8), so the
+                # per-frame work scales with the real state count.
+                d_sub = jax.lax.slice_in_dim(delta, 0, k_sub, axis=1)
+                scores = d_sub[:, :, None] + la_ref[:, :][None]
+                best = jnp.max(scores, axis=1) + lo_t
+                first = lpi_ref[0, :][None, :] + lo_t
+                new_delta = jnp.where(t == 0, first, best)
+                delta = jnp.where(t >= t_true, delta, new_delta)
+                dstage_buf[slot, :, tf, :] = delta
+                return delta
+
+            delta = jax.lax.fori_loop(0, t_chunk, frame, delta)
+            delta_out_dma(slot, c).start()
+            return delta
+
+        delta0 = jnp.full((Bt, K), _NEG, jnp.float32)
+        delta = jax.lax.fori_loop(0, n_chunks, chunk_body, delta0)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            delta_out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        delta_out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+        best_final = jnp.max(delta, axis=-1, keepdims=True)
+        score_ref[:, 0] = best_final[:, 0]
+        last_state = jnp.max(
+            jnp.where(delta == best_final, lane_iota, -1.0), axis=-1
+        )  # f32 state indices
+
+        # ---- Phase 2: backtrace over delta chunks in reverse ----
+        def delta_in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                delta_hbm.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                dback_buf.at[slot],
+                din_sems.at[slot],
+            )
+
+        def st_out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                st_buf.at[slot],
+                states_out.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                st_sems.at[slot],
+            )
+
+        delta_in_dma(0, n_chunks - 1).start()
+        delta_in_dma(0, n_chunks - 1).wait()
+
+        def bt_chunk(r, state):
+            c = n_chunks - 1 - r
+            slot = r % 2
+
+            # Prefetch AND wait for the next reverse chunk here: frame
+            # tf == 0 of this chunk reads the next chunk's last frame
+            # (cross-chunk d_prev), so it must be resident before the
+            # frame loop. Each DMA is waited exactly once.
+            @pl.when(r + 1 < n_chunks)
+            def _():
+                delta_in_dma((r + 1) % 2, c - 1).start()
+                delta_in_dma((r + 1) % 2, c - 1).wait()
+
+            @pl.when(r >= 2)
+            def _():
+                st_out_dma(slot, n_chunks - 1 - (r - 2)).wait()
+
+            def frame(i, state):
+                tf = t_chunk - 1 - i
+                t = c * t_chunk + tf
+                # Backpointer on demand: column la[:, s_b] per batch row
+                # via one-hot + transposed-matrix MXU gather (exact under
+                # HIGHEST precision), then a (Bt, K) argmax.
+                onehot = (lane_iota == state[:, None]).astype(jnp.float32)
+                st_buf[slot, :, tf, :] = onehot
+                col = jnp.dot(
+                    onehot, la_t_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (Bt, K) = la[:, s_b] laid out over i
+                # delta at frame t-1 lives in this chunk unless tf == 0.
+                d_here = dback_buf[
+                    slot, :, pl.ds(jnp.maximum(tf - 1, 0), 1), :
+                ][:, 0, :]
+                d_cross = dback_buf[(r + 1) % 2, :, t_chunk - 1, :]
+                d_prev = jnp.where(tf > 0, d_here, d_cross)
+                scores = d_prev + col
+                best = jnp.max(scores, axis=-1, keepdims=True)
+                prev = jnp.max(
+                    jnp.where(scores == best, lane_iota, -1.0), axis=-1
+                )
+                keep = (t == 0) | (t >= t_true)
+                return jnp.where(keep, state, prev)
+
+            state = jax.lax.fori_loop(0, t_chunk, frame, state)
+            st_out_dma(slot, c).start()
+            return state
+
+        jax.lax.fori_loop(0, n_chunks, bt_chunk, last_state)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            st_out_dma((n_chunks - 2) % 2, 1).wait()
+
+        st_out_dma((n_chunks - 1) % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        dstage_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        dback_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        st_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        dout_sems=pltpu.SemaphoreType.DMA((2,)),
+        din_sems=pltpu.SemaphoreType.DMA((2,)),
+        st_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk", "b_tile"))
+def pallas_viterbi(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    t_chunk: int = 256,
+    b_tile: int = SUBLANES,
+) -> Tuple[jax.Array, jax.Array]:
+    """Viterbi decode with on-chip backtrace: ``(states (B, T), score (B,))``.
+
+    T-padding is exact: padded frames freeze the trellis (identity
+    steps), so the final delta equals the true frame-``T-1`` delta and
+    the backtrace holds its state through the pad.
+    """
+    B, T, K = log_obs.shape
+    if K > LANES:
+        raise ValueError(f"pallas_viterbi supports K <= {LANES}, got {K}")
+
+    Kp = LANES
+    k_sub = _ceil_to(K, SUBLANES)
+    Tp = _ceil_to(T, t_chunk)
+    Bp = _ceil_to(B, b_tile)
+
+    lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
+    lo = _pad_to(lo, Tp, 1, 0.0)
+    lo = _pad_to(lo, Bp, 0, 0.0)
+
+    la_full = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
+    la_full = _pad_to(la_full, Kp, 1, _NEG)
+    la_rows = la_full[:k_sub]                       # (k_sub, Kp)
+    la_t = la_full.T                                # (Kp, Kp)
+    lpi = _pad_to(log_pi.astype(jnp.float32), Kp, 0, _NEG)[None, :]
+
+    nb = Bp // b_tile
+    delta, states_p, score_p = pl.pallas_call(
+        functools.partial(
+            _viterbi_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
+            k_sub=k_sub,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((k_sub, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(lo, la_rows, la_t, lpi)
+
+    states = jnp.argmax(states_p[:B, :T, :K], axis=-1).astype(jnp.int32)
+    return states, score_p[:B, 0]

@@ -131,7 +131,10 @@ class StreamingHMMProcessor(nnx.Module):
         # scalar path length. H covers the longest decodable span (a full
         # buffer flush).
         W = self.beam_width
-        H = self.max_delay_frames + self.lookahead_frames
+        H = (
+            max(self.max_delay_frames, self.chunk_size)
+            + self.lookahead_frames
+        )
         init = -jnp.log(jnp.asarray(float(self.num_states)))
         self._beam_scores = jnp.where(
             jnp.arange(W) < self.num_states, init, -jnp.inf
@@ -198,8 +201,15 @@ class StreamingHMMProcessor(nnx.Module):
         start_time = time.perf_counter()
         chunk = np.asarray(audio_chunk, np.float32)
         self._buffer = np.concatenate([self._buffer, chunk], axis=0)
-        # Bound the buffer like the reference's deque(maxlen=...).
-        max_buf = self.max_delay_frames + self.lookahead_frames
+        # Bound the buffer. The reference caps it at max_delay + lookahead
+        # (streaming.py:104), which with the default chunk_size=160 >
+        # max_delay=50 can never reach the `chunk + lookahead` frames
+        # required to decode — a latent deadlock we do not reproduce: the
+        # cap must admit at least one decodable span.
+        max_buf = max(
+            self.max_delay_frames + self.lookahead_frames,
+            self.chunk_size + self.lookahead_frames,
+        )
         if len(self._buffer) > max_buf:
             drop = len(self._buffer) - max_buf
             self._buffer = self._buffer[drop:]
@@ -323,7 +333,10 @@ class StreamingHMMProcessor(nnx.Module):
                 if times else 0.0
             ),
             "buffer_utilization": len(self._buffer)
-            / (self.max_delay_frames + self.lookahead_frames),
+            / max(
+                self.max_delay_frames + self.lookahead_frames,
+                self.chunk_size + self.lookahead_frames,
+            ),
             "chunk_size": self.chunk_size,
             "lookahead_frames": self.lookahead_frames,
             "beam_width": self.beam_width if self.use_beam_search else 1,
@@ -361,7 +374,10 @@ class StreamingHMMProcessor(nnx.Module):
         """Re-shape the beam carry after a width change, keeping the best
         existing hypotheses."""
         W = self.beam_width
-        H = self.max_delay_frames + self.lookahead_frames
+        H = (
+            max(self.max_delay_frames, self.chunk_size)
+            + self.lookahead_frames
+        )
         old_w = self._beam_scores.shape[0]
         if old_w == W:
             return
