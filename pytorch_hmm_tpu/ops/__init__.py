@@ -13,6 +13,8 @@ O(100 ns)/step). ``auto_forward``/``auto_viterbi`` pick the right path.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -85,9 +87,20 @@ def auto_forward(log_obs, log_a, log_pi):
     return core.forward_log(log_obs, log_a, log_pi)
 
 
+# The Viterbi kernel's phase-2 DMA choreography is still being validated
+# on real hardware (interpret mode passes; a hardware hang was observed).
+# Until it is proven, auto-dispatch keeps decode on the XLA scan; set
+# PYTORCH_HMM_TPU_PALLAS_VITERBI=1 to opt in.
+_VITERBI_OPT_IN = os.environ.get("PYTORCH_HMM_TPU_PALLAS_VITERBI") == "1"
+
+
 def auto_viterbi(log_obs, log_a, log_pi):
-    """``(states, score)`` via Pallas on TPU, XLA scan elsewhere."""
-    if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
+    """``(states, score)`` via Pallas on TPU (opt-in), XLA scan otherwise."""
+    if (
+        _VITERBI_OPT_IN
+        and pallas_available(log_obs.shape[-1])
+        and log_a.ndim == 2
+    ):
         return pallas_viterbi(log_obs, log_a, log_pi)
     return core.viterbi(log_obs, log_a, log_pi)
 
