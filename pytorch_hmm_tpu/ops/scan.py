@@ -486,6 +486,13 @@ def _viterbi_kernel(
         )  # f32 state indices
 
         # ---- Phase 2: backtrace over delta chunks in reverse ----
+        # Boundary-deferred scheme: each reverse iteration first resolves
+        # the transition INTO the first frame of the previously-processed
+        # chunk (it needs this chunk's LAST delta frame — now resident),
+        # then walks its own frames entirely in-buffer. No cross-slot
+        # reads; the DMA protocol is the standard double buffer (start
+        # next at top, wait current — each semaphore signaled and waited
+        # exactly once).
         def delta_in_dma(slot, chunk):
             return pltpu.make_async_copy(
                 delta_hbm.at[
@@ -504,52 +511,53 @@ def _viterbi_kernel(
                 st_sems.at[slot],
             )
 
+        def pred_step(state, d_prev):
+            """Best predecessor of `state` given the previous frame's
+            delta (one-hot MXU column gather + f32 argmax)."""
+            onehot = (lane_iota == state[:, None]).astype(jnp.float32)
+            col = jnp.dot(
+                onehot, la_t_ref[:, :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            scores = d_prev + col
+            best = jnp.max(scores, axis=-1, keepdims=True)
+            return jnp.max(
+                jnp.where(scores == best, lane_iota, -1.0), axis=-1
+            )
+
         delta_in_dma(0, n_chunks - 1).start()
-        delta_in_dma(0, n_chunks - 1).wait()
 
         def bt_chunk(r, state):
             c = n_chunks - 1 - r
             slot = r % 2
 
-            # Prefetch AND wait for the next reverse chunk here: frame
-            # tf == 0 of this chunk reads the next chunk's last frame
-            # (cross-chunk d_prev), so it must be resident before the
-            # frame loop. Each DMA is waited exactly once.
             @pl.when(r + 1 < n_chunks)
             def _():
                 delta_in_dma((r + 1) % 2, c - 1).start()
-                delta_in_dma((r + 1) % 2, c - 1).wait()
+
+            delta_in_dma(slot, c).wait()
 
             @pl.when(r >= 2)
             def _():
                 st_out_dma(slot, n_chunks - 1 - (r - 2)).wait()
 
+            # Deferred boundary: transition into frame (c+1)*t_chunk.
+            t_b = (c + 1) * t_chunk
+            pred_b = pred_step(state, dback_buf[slot, :, t_chunk - 1, :])
+            state = jnp.where((r > 0) & (t_b < t_true), pred_b, state)
+
             def frame(i, state):
                 tf = t_chunk - 1 - i
                 t = c * t_chunk + tf
-                # Backpointer on demand: column la[:, s_b] per batch row
-                # via one-hot + transposed-matrix MXU gather (exact under
-                # HIGHEST precision), then a (Bt, K) argmax.
                 onehot = (lane_iota == state[:, None]).astype(jnp.float32)
                 st_buf[slot, :, tf, :] = onehot
-                col = jnp.dot(
-                    onehot, la_t_ref[:, :],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (Bt, K) = la[:, s_b] laid out over i
-                # delta at frame t-1 lives in this chunk unless tf == 0.
-                d_here = dback_buf[
+                d_prev = dback_buf[
                     slot, :, pl.ds(jnp.maximum(tf - 1, 0), 1), :
                 ][:, 0, :]
-                d_cross = dback_buf[(r + 1) % 2, :, t_chunk - 1, :]
-                d_prev = jnp.where(tf > 0, d_here, d_cross)
-                scores = d_prev + col
-                best = jnp.max(scores, axis=-1, keepdims=True)
-                prev = jnp.max(
-                    jnp.where(scores == best, lane_iota, -1.0), axis=-1
-                )
-                keep = (t == 0) | (t >= t_true)
-                return jnp.where(keep, state, prev)
+                pred_f = pred_step(state, d_prev)
+                move = (tf > 0) & (t < t_true)
+                return jnp.where(move, pred_f, state)
 
             state = jax.lax.fori_loop(0, t_chunk, frame, state)
             st_out_dma(slot, c).start()
