@@ -152,13 +152,24 @@ class MixtureGaussianHMMLayer(TrainMode):
         return -jnp.mean(self.log_likelihood(observations))
 
     # -- EM (Baum-Welch) ----------------------------------------------------------
-    def em_step(self, observations: jax.Array, var_floor: float = 1e-3):
+    def em_step(
+        self,
+        observations: jax.Array,
+        var_floor: float = 1e-3,
+        mesh=None,
+    ):
         """One exact Baum-Welch update from a batch of sequences.
 
         E-step: forward-backward posteriors γ and pairwise ξ on the shared
         kernels, component responsibilities r = γ · softmax_c(comp scores).
         M-step: closed-form weight/mean/covariance/transition updates.
         Returns the batch mean log-likelihood *before* the update.
+
+        With ``mesh`` (a ``(data, time)`` ``jax.sharding.Mesh``), the
+        forward-backward pass runs on the block-parallel sharded kernel
+        and the sufficient-statistic reductions distribute over the mesh
+        — distributed EM, which the reference cannot express at all.
+        Shard ``observations`` with ``parallel.shard_batch`` first.
         """
         (ll, new) = _em_update(
             observations,
@@ -170,6 +181,7 @@ class MixtureGaussianHMMLayer(TrainMode):
             self.covariance_type,
             var_floor,
             self.learnable_transitions,
+            mesh,
         )
         self.means[...] = new["means"]
         self.cov_params[...] = new["cov_params"]
@@ -196,7 +208,10 @@ class MixtureGaussianHMMLayer(TrainMode):
         }
 
 
-@partial(jax.jit, static_argnames=("covariance_type", "learnable_transitions"))
+@partial(
+    jax.jit,
+    static_argnames=("covariance_type", "learnable_transitions", "mesh"),
+)
 def _em_update(
     obs: jax.Array,
     means: jax.Array,
@@ -207,6 +222,7 @@ def _em_update(
     covariance_type: str,
     var_floor: float,
     learnable_transitions: bool,
+    mesh=None,
 ):
     B, T, D = obs.shape
     S, C, _ = means.shape
@@ -216,9 +232,16 @@ def _em_update(
     weighted = comp + log_w[None, None]  # (B, T, S, C)
     log_obs = logsumexp(weighted, axis=-1)  # (B, T, S)
 
-    log_gamma, log_alpha, log_beta, log_z = core.forward_backward(
-        log_obs, log_a, log_pi
-    )
+    if mesh is not None:
+        from ..parallel.sharded import sharded_forward_backward
+
+        log_gamma, log_alpha, log_beta, log_z = sharded_forward_backward(
+            log_obs, log_a, log_pi, mesh
+        )
+    else:
+        log_gamma, log_alpha, log_beta, log_z = core.forward_backward(
+            log_obs, log_a, log_pi
+        )
     # Component responsibilities: r = γ_s · p(c | x, s).
     log_r = log_gamma[..., None] + weighted - log_obs[..., None]
     r = jnp.exp(log_r)  # (B, T, S, C)

@@ -97,3 +97,24 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+def test_sharded_em_matches_single_device():
+    from flax import nnx
+    from pytorch_hmm_tpu.models import MixtureGaussianHMMLayer
+
+    rng = np.random.default_rng(17)
+    obs = jnp.asarray(rng.normal(size=(4, 64, 6)), jnp.float32)
+    m1 = MixtureGaussianHMMLayer(3, 6, 2, rngs=nnx.Rngs(0))
+    m2 = MixtureGaussianHMMLayer(3, 6, 2, rngs=nnx.Rngs(0))
+    mesh = make_mesh(data=2, time=4)
+    lls1 = [float(m1.em_step(obs)) for _ in range(3)]
+    lls2 = [
+        float(m2.em_step(shard_batch(mesh, obs), mesh=mesh))
+        for _ in range(3)
+    ]
+    np.testing.assert_allclose(lls1, lls2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(m1.means[...]), np.asarray(m2.means[...]), atol=1e-3
+    )
+    assert lls1[-1] > lls1[0], "EM must improve the likelihood"
