@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .semiring import logsumexp
 
-__all__ = ["hsmm_forward", "hsmm_viterbi"]
+__all__ = ["hsmm_forward", "hsmm_backward", "hsmm_posteriors", "hsmm_viterbi"]
 
 _NEG = -1e30  # finite log(0): keeps gradients NaN-free in the sum path
 
@@ -178,3 +178,123 @@ def _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi: bool):
         dstars.swapaxes(0, 1),
         phis.swapaxes(0, 1),
     )
+
+
+@partial(jax.jit, static_argnames=())
+def hsmm_backward(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_dur: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """HSMM backward pass.
+
+    Returns ``(log_beta_star, log_beta_start)``, both ``(B, T, S)``:
+
+    * ``log_beta_star[t, s]`` — log-prob of the observations after ``t``
+      given a segment of state ``s`` *ends* exactly at ``t``
+      (``beta_star[T-1] = 0``); recursion
+      ``beta_star(t) = lse_{s'}(log_a[s, s'] + beta_start(t+1, s'))``.
+    * ``log_beta_start[t, s]`` — log-prob of observations from ``t`` on
+      given a segment of state ``s`` *starts* at ``t``:
+      ``lse_d(log_dur[s, d] + E(s, t..t+d-1) + beta_star(t+d-1, s))``
+      over durations that end by ``T-1``.
+
+    Mirrors :func:`hsmm_forward`'s structure in reverse: suffix emission
+    sums turn segment scores into single adds via the carried quantity
+    ``w(e, s) = beta_star(e, s) − C(e+1, s)`` (C = suffix cumsum), held
+    in a (D, S) ring buffer. Consistency: ``lse_s(log_pi + beta_start[0])
+    == log Z``.
+
+    A capability the reference lacks entirely — its HSMMs can only be
+    Viterbi-decoded (``hsmm.py:208-354``), never given posteriors.
+    """
+    B, T, S = log_obs.shape
+    D = log_dur.shape[-1]
+    dt = log_obs.dtype
+
+    log_a = jnp.maximum(log_a, _NEG)
+    log_dur_t = jnp.maximum(log_dur.T, _NEG)  # (D, S)
+    j_idx = jnp.arange(D)[None, :, None]
+
+    w0 = jnp.full((B, D, S), _NEG, dt)
+    bstart0 = jnp.full((B, S), _NEG, dt)
+    c0 = jnp.zeros((B, S), dt)  # C(T) = 0
+
+    def step(carry, xs):
+        w_buf, bstart_next, c_next = carry
+        lo_t, t = xs
+        c_t = c_next + lo_t  # suffix sum C(t)
+
+        bs_from_next = logsumexp(
+            log_a[None] + bstart_next[:, None, :], axis=2
+        )
+        beta_star_t = jnp.where(
+            t == T - 1, jnp.zeros((B, S), dt), bs_from_next
+        )
+
+        w_t = beta_star_t - c_next  # w(t) = beta_star(t) - C(t+1)
+        w_buf = jnp.concatenate([w_t[:, None], w_buf[:, :-1]], axis=1)
+
+        # beta_start(t, s) = C(t) + lse_d(dur[s, d] + w(t+d-1)); the
+        # segment must end by T-1: d <= T - t  ⇔  j = d-1 <= T-1-t.
+        scores = _masked(log_dur_t[None] + w_buf, j_idx <= T - 1 - t)
+        beta_start_t = c_t + logsumexp(scores, axis=1)
+
+        return (w_buf, beta_start_t, c_t), (beta_star_t, beta_start_t)
+
+    xs = (log_obs.swapaxes(0, 1), jnp.arange(T))
+    _, (bstars, bstarts) = jax.lax.scan(
+        step, (w0, bstart0, c0), xs, reverse=True
+    )
+    return bstars.swapaxes(0, 1), bstarts.swapaxes(0, 1)
+
+
+@partial(jax.jit, static_argnames=())
+def hsmm_posteriors(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    log_dur: jax.Array,
+):
+    """Exact HSMM posteriors.
+
+    Returns a dict with:
+
+    * ``gamma (B, T, S)`` — frame-level state occupancy
+      ``P(state at frame t = s | O)`` (rows sum to 1);
+    * ``segment_end (B, T, S)`` — ``P(a segment of s ends at t | O)``;
+    * ``segment_start (B, T, S)`` — ``P(a segment of s starts at t | O)``;
+    * ``log_z (B,)`` — sequence log-likelihood.
+
+    Occupancy via the start/end telescoping identity:
+    ``gamma(t) = Σ_{u<=t} start(u) − Σ_{u<=t-1} end(u)``.
+    """
+    log_alpha, log_z = hsmm_forward(log_obs, log_a, log_pi, log_dur)
+    log_bstar, log_bstart = hsmm_backward(log_obs, log_a, log_dur)
+
+    lz = log_z[:, None, None]
+    seg_end = jnp.exp(log_alpha + log_bstar - lz)
+
+    # Entry scores mu(t-1, s) = lse_{s'}(alpha*(t-1, s') + log_a[s', s]);
+    # mu(-1, s) = log_pi[s].
+    la = jnp.maximum(log_a, _NEG)
+    mu = logsumexp(
+        log_alpha[:, :-1, :, None] + la[None, None], axis=2
+    )  # (B, T-1, S) for entries into frames 1..T-1
+    mu0 = jnp.broadcast_to(
+        log_pi[None, None, :], (log_obs.shape[0], 1, log_obs.shape[2])
+    )
+    mu = jnp.concatenate([mu0, mu], axis=1)  # (B, T, S)
+    seg_start = jnp.exp(mu + log_bstart - lz)
+
+    gamma = jnp.cumsum(seg_start, axis=1) - jnp.concatenate(
+        [jnp.zeros_like(seg_end[:, :1]), jnp.cumsum(seg_end, axis=1)[:, :-1]],
+        axis=1,
+    )
+    gamma = jnp.clip(gamma, 0.0, 1.0)
+    return {
+        "gamma": gamma,
+        "segment_end": seg_end,
+        "segment_start": seg_start,
+        "log_z": log_z,
+    }

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..core.hsmm import hsmm_forward, hsmm_viterbi
+from ..core.hsmm import hsmm_forward, hsmm_posteriors, hsmm_viterbi
 from ..durations import (
     gamma_duration_log_pmf,
     poisson_duration_log_pmf,
@@ -179,6 +179,16 @@ class HSMMLayer(TrainMode):
 
     def compute_loss(self, observations: jax.Array) -> jax.Array:
         return -jnp.mean(self.log_likelihood(observations))
+
+    def posteriors(self, observations: jax.Array) -> dict:
+        """Exact frame occupancy + segment boundary posteriors (keys:
+        ``gamma``, ``segment_start``, ``segment_end``, ``log_z``) — new
+        capability; the reference can only Viterbi-decode its HSMMs."""
+        log_obs = self.get_observation_log_probs(observations)
+        return hsmm_posteriors(
+            log_obs, self._log_a(), self._log_pi(),
+            self.get_duration_log_probs(),
+        )
 
     # -- generation ------------------------------------------------------------
     def generate_sequence(

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from ..core.hsmm import hsmm_forward, hsmm_viterbi
+from ..core.hsmm import hsmm_forward, hsmm_posteriors, hsmm_viterbi
 from ..core.semiring import logsumexp
 from ..durations import (
     gamma_duration_log_pmf,
@@ -308,6 +308,16 @@ class SemiMarkovHMM(TrainMode):
 
     def compute_loss(self, observations: jax.Array) -> jax.Array:
         return -jnp.mean(self.log_likelihood(observations))
+
+    def posteriors(self, observations: jax.Array) -> Dict[str, jax.Array]:
+        """Exact frame occupancy + segment boundary posteriors."""
+        if observations.ndim == 2:
+            observations = observations[None]
+        log_obs = self.observation_log_probs(observations)
+        return hsmm_posteriors(
+            log_obs, self._log_a(), self._log_pi(),
+            self.duration_model.log_pmf_table(),
+        )
 
     # -- decoding ---------------------------------------------------------------
     def viterbi_decode(

@@ -258,3 +258,79 @@ def test_adaptive_duration_hsmm():
     obs = jnp.asarray(np.random.default_rng(7).normal(size=(12, 5)), jnp.float32)
     ll = ad.contextual_log_likelihood(obs, ctx[0])
     assert np.isfinite(float(ll[0]))
+
+
+def test_hsmm_backward_consistency(hsmm_problem):
+    """lse(log_pi + beta_start[0]) must equal log Z for every batch row."""
+    from jax.scipy.special import logsumexp
+    from pytorch_hmm_tpu.core.hsmm import hsmm_backward
+
+    log_obs, log_a, log_pi, log_dur = hsmm_problem
+    _, log_z = hsmm_forward(
+        jnp.asarray(log_obs), jnp.asarray(log_a),
+        jnp.asarray(log_pi), jnp.asarray(log_dur),
+    )
+    _, bstart = hsmm_backward(
+        jnp.asarray(log_obs), jnp.asarray(log_a), jnp.asarray(log_dur)
+    )
+    z2 = logsumexp(jnp.asarray(log_pi) + bstart[:, 0], axis=-1)
+    np.testing.assert_allclose(z2, log_z, atol=1e-4)
+
+
+def test_hsmm_posteriors_match_oracle(hsmm_problem):
+    from pytorch_hmm_tpu.core.hsmm import hsmm_posteriors
+
+    log_obs, log_a, log_pi, log_dur = hsmm_problem
+    B, T, S = log_obs.shape
+    D = log_dur.shape[1]
+    post = hsmm_posteriors(
+        jnp.asarray(log_obs), jnp.asarray(log_a),
+        jnp.asarray(log_pi), jnp.asarray(log_dur),
+    )
+    g = np.asarray(post["gamma"])
+    np.testing.assert_allclose(g.sum(-1), 1.0, atol=1e-4)
+
+    # Brute-force occupancy for each row.
+    for b in range(B):
+        occ = np.zeros((T, S))
+
+        def rec(t, s_prev, score, path):
+            if t == T:
+                p = np.exp(score)
+                for u, st in enumerate(path):
+                    occ[u, st] += p
+                return
+            for s in range(S):
+                if s_prev is not None and (
+                    s == s_prev or not np.isfinite(log_a[s_prev, s])
+                ):
+                    continue
+                trans = log_pi[s] if s_prev is None else log_a[s_prev, s]
+                for d in range(1, min(D, T - t) + 1):
+                    e = log_obs[b, t:t + d, s].sum()
+                    rec(t + d, s,
+                        score + trans + log_dur[s, d - 1] + e,
+                        path + [s] * d)
+
+        rec(0, None, 0.0, [])
+        oracle = occ / occ.sum(1, keepdims=True)
+        np.testing.assert_allclose(g[b], oracle, atol=1e-4)
+
+
+def test_hsmm_layer_posteriors():
+    m = HSMMLayer(num_states=3, feature_dim=4, max_duration=6,
+                  rngs=nnx.Rngs(0))
+    obs = jnp.asarray(
+        np.random.default_rng(8).normal(size=(2, 20, 4)), jnp.float32
+    )
+    post = m.posteriors(obs)
+    assert post["gamma"].shape == (2, 20, 3)
+    np.testing.assert_allclose(
+        np.asarray(post["gamma"]).sum(-1), 1.0, atol=1e-4
+    )
+    # argmax-occupancy should broadly agree with Viterbi
+    states, _ = m(obs)
+    agree = np.mean(
+        np.asarray(jnp.argmax(post["gamma"], -1)) == np.asarray(states)
+    )
+    assert agree > 0.5
