@@ -384,42 +384,30 @@ def pallas_backward(
 # Viterbi (max-product + on-chip backtrace)
 # ---------------------------------------------------------------------------
 
-def _viterbi_kernel(
+def _vit_trellis_kernel(
     lo_hbm,      # (B, Tp, K) HBM
     la_ref,      # (Ks, K) VMEM log transitions (sublane-packed rows)
-    la_t_ref,    # (K, K) VMEM log transitions TRANSPOSED (for column gather)
     lpi_ref,     # (1, K) VMEM
-    delta_hbm,   # (B, Tp, K) HBM f32 workspace (also an output)
-    states_out,  # (B, Tp, K) HBM int32 one-hot states
-    score_ref,   # (Bt, 1) VMEM
+    delta_out,   # (B, Tp, K) HBM — per-frame trellis values
+    dfin_ref,    # (Bt, K) VMEM — final delta
     *,
     t_chunk: int,
     t_total: int,
     t_true: int,
     k_sub: int,
 ):
-    """Two-phase Viterbi.
+    """Phase 1: max-product trellis, streaming delta frames to HBM.
 
-    Phase 1 stores only the delta vectors (2 VPU passes per frame:
-    broadcast-add + max — no argmax in the hot loop). Phase 2 walks
-    backwards recomputing each frame's single needed backpointer:
-    the transition column ``la[:, s_t]`` is gathered with a one-hot
-    matmul on the MXU and the argmax runs on a (Bt, K) vector.
+    Identical DMA protocol to ``_forward_kernel`` (proven on hardware);
+    only the per-frame compute differs (broadcast-add + max over the
+    ``k_sub`` packed predecessor sublanes, no argmax in the hot loop).
     """
-    Bt = score_ref.shape[0]
+    Bt = dfin_ref.shape[0]
     K = la_ref.shape[1]
     n_chunks = t_total // t_chunk
     b0 = pl.program_id(0) * Bt
-    # All phase-2 state arithmetic stays in f32 (Mosaic legalizes float
-    # vector ops far more completely than int vectors); indices are small
-    # integers represented exactly.
-    lane_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (Bt, K), 1
-    ).astype(jnp.float32)
 
-    def body(obs_buf, dstage_buf, dback_buf, st_buf,
-             in_sems, dout_sems, din_sems, st_sems):
-        # ---- Phase 1: forward trellis, delta chunks streamed to HBM ----
+    def body(obs_buf, stage_buf, in_sems, out_sems):
         def in_dma(slot, chunk):
             return pltpu.make_async_copy(
                 lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
@@ -427,13 +415,13 @@ def _viterbi_kernel(
                 in_sems.at[slot],
             )
 
-        def delta_out_dma(slot, chunk):
+        def out_dma(slot, chunk):
             return pltpu.make_async_copy(
-                dstage_buf.at[slot],
-                delta_hbm.at[
+                stage_buf.at[slot],
+                delta_out.at[
                     pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
                 ],
-                dout_sems.at[slot],
+                out_sems.at[slot],
             )
 
         in_dma(0, 0).start()
@@ -449,25 +437,22 @@ def _viterbi_kernel(
 
             @pl.when(c >= 2)
             def _():
-                delta_out_dma(slot, c - 2).wait()
+                out_dma(slot, c - 2).wait()
 
             def frame(tf, delta):
                 lo_t = obs_buf[slot, :, tf, :]
                 t = c * t_chunk + tf
-                # scores[b, i, j] = delta[b, i] + la[i, j]; i only spans
-                # the k_sub packed sublanes (true K rounded to 8), so the
-                # per-frame work scales with the real state count.
                 d_sub = jax.lax.slice_in_dim(delta, 0, k_sub, axis=1)
                 scores = d_sub[:, :, None] + la_ref[:, :][None]
                 best = jnp.max(scores, axis=1) + lo_t
                 first = lpi_ref[0, :][None, :] + lo_t
                 new_delta = jnp.where(t == 0, first, best)
                 delta = jnp.where(t >= t_true, delta, new_delta)
-                dstage_buf[slot, :, tf, :] = delta
+                stage_buf[slot, :, tf, :] = delta
                 return delta
 
             delta = jax.lax.fori_loop(0, t_chunk, frame, delta)
-            delta_out_dma(slot, c).start()
+            out_dma(slot, c).start()
             return delta
 
         delta0 = jnp.full((Bt, K), _NEG, jnp.float32)
@@ -475,24 +460,46 @@ def _viterbi_kernel(
 
         @pl.when(n_chunks >= 2)
         def _():
-            delta_out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+            out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
 
-        delta_out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+        dfin_ref[:, :] = delta
 
-        best_final = jnp.max(delta, axis=-1, keepdims=True)
-        score_ref[:, 0] = best_final[:, 0]
-        last_state = jnp.max(
-            jnp.where(delta == best_final, lane_iota, -1.0), axis=-1
-        )  # f32 state indices
+    pl.run_scoped(
+        body,
+        obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        stage_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
 
-        # ---- Phase 2: backtrace over delta chunks in reverse ----
-        # Boundary-deferred scheme: each reverse iteration first resolves
-        # the transition INTO the first frame of the previously-processed
-        # chunk (it needs this chunk's LAST delta frame — now resident),
-        # then walks its own frames entirely in-buffer. No cross-slot
-        # reads; the DMA protocol is the standard double buffer (start
-        # next at top, wait current — each semaphore signaled and waited
-        # exactly once).
+
+def _vit_backtrace_kernel(
+    delta_hbm,   # (B, Tp, K) HBM — trellis values from the first kernel
+    la_t_ref,    # (K, K) VMEM log transitions TRANSPOSED
+    dfin_ref,    # (Bt, K) VMEM — final delta
+    states_out,  # (B, Tp, K) HBM one-hot states (f32)
+    score_ref,   # (Bt, 1) VMEM
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+):
+    """Phase 2: boundary-deferred backtrace over delta chunks in reverse.
+
+    Runs as a separate ``pallas_call`` so this kernel only ever *reads*
+    ``delta_hbm`` (same-kernel DMA write-then-read-back of an output
+    buffer hangs on real hardware even though interpret mode allows it).
+    """
+    Bt = dfin_ref.shape[0]
+    K = la_t_ref.shape[1]
+    n_chunks = t_total // t_chunk
+    b0 = pl.program_id(0) * Bt
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (Bt, K), 1
+    ).astype(jnp.float32)
+
+    def body(dback_buf, st_buf, din_sems, st_sems):
         def delta_in_dma(slot, chunk):
             return pltpu.make_async_copy(
                 delta_hbm.at[
@@ -512,8 +519,6 @@ def _viterbi_kernel(
             )
 
         def pred_step(state, d_prev):
-            """Best predecessor of `state` given the previous frame's
-            delta (one-hot MXU column gather + f32 argmax)."""
             onehot = (lane_iota == state[:, None]).astype(jnp.float32)
             col = jnp.dot(
                 onehot, la_t_ref[:, :],
@@ -525,6 +530,13 @@ def _viterbi_kernel(
             return jnp.max(
                 jnp.where(scores == best, lane_iota, -1.0), axis=-1
             )
+
+        delta = dfin_ref[:, :]
+        best_final = jnp.max(delta, axis=-1, keepdims=True)
+        score_ref[:, 0] = best_final[:, 0]
+        last_state = jnp.max(
+            jnp.where(delta == best_final, lane_iota, -1.0), axis=-1
+        )
 
         delta_in_dma(0, n_chunks - 1).start()
 
@@ -573,12 +585,8 @@ def _viterbi_kernel(
 
     pl.run_scoped(
         body,
-        obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
-        dstage_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
         dback_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
         st_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
-        in_sems=pltpu.SemaphoreType.DMA((2,)),
-        dout_sems=pltpu.SemaphoreType.DMA((2,)),
         din_sems=pltpu.SemaphoreType.DMA((2,)),
         st_sems=pltpu.SemaphoreType.DMA((2,)),
     )
@@ -592,11 +600,11 @@ def pallas_viterbi(
     t_chunk: int = 256,
     b_tile: int = SUBLANES,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Viterbi decode with on-chip backtrace: ``(states (B, T), score (B,))``.
+    """Viterbi decode: ``(states (B, T), score (B,))``.
 
-    T-padding is exact: padded frames freeze the trellis (identity
-    steps), so the final delta equals the true frame-``T-1`` delta and
-    the backtrace holds its state through the pad.
+    Two Pallas kernels: a streamed max-product trellis writing per-frame
+    delta vectors, then a boundary-deferred backtrace reading them in
+    reverse. T-padding is exact (padded frames freeze the trellis).
     """
     B, T, K = log_obs.shape
     if K > LANES:
@@ -618,9 +626,9 @@ def pallas_viterbi(
     lpi = _pad_to(log_pi.astype(jnp.float32), Kp, 0, _NEG)[None, :]
 
     nb = Bp // b_tile
-    delta, states_p, score_p = pl.pallas_call(
+    delta_hbm, dfin = pl.pallas_call(
         functools.partial(
-            _viterbi_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
+            _vit_trellis_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
             k_sub=k_sub,
         ),
         grid=(nb,),
@@ -628,23 +636,43 @@ def pallas_viterbi(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((k_sub, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((b_tile, Kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Kp), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(lo, la_rows, lpi)
+
+    onehot_states, score_p = pl.pallas_call(
+        functools.partial(
+            _vit_backtrace_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, Kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(lo, la_rows, la_t, lpi)
+    )(delta_hbm, la_t, dfin)
 
-    states = jnp.argmax(states_p[:B, :T, :K], axis=-1).astype(jnp.int32)
+    states = jnp.argmax(onehot_states[:B, :T, :K], axis=-1).astype(jnp.int32)
     return states, score_p[:B, 0]
