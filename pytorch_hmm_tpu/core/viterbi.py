@@ -75,7 +75,11 @@ def viterbi(
 
     xs = (log_obs[:, 1:].swapaxes(0, 1), log_a[:, 1:].swapaxes(0, 1)) if tv \
         else log_obs[:, 1:].swapaxes(0, 1)
-    (delta_T, _), psis = jax.lax.scan(fwd, (delta0, jnp.int32(1)), xs)
+    # unroll amortizes the TPU while-loop overhead (~2.3 us/iter)
+    # across several fused steps.
+    (delta_T, _), psis = jax.lax.scan(
+        fwd, (delta0, jnp.int32(1)), xs, unroll=8
+    )
     # psis[t] are the backpointers for step t+1 (into frame t+1), t in [0, T-2].
 
     last_state = jnp.argmax(delta_T, axis=-1).astype(jnp.int32)
@@ -85,7 +89,9 @@ def viterbi(
         prev = jnp.take_along_axis(psi_t, state[:, None], axis=1)[:, 0]
         return prev, prev
 
-    _, prev_states = jax.lax.scan(back, last_state, psis, reverse=True)
+    _, prev_states = jax.lax.scan(
+        back, last_state, psis, reverse=True, unroll=8
+    )
     states = jnp.concatenate(
         [prev_states.swapaxes(0, 1), last_state[:, None]], axis=1
     )

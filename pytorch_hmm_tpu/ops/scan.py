@@ -183,13 +183,9 @@ def pallas_forward(
     Bp = _ceil_to(B, b_tile)
 
     lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
-    # Padded frames: identity steps. Using obs=0 on padded frames would
-    # corrupt alpha; instead make padded frames uniform-0 on real states
-    # only for the final lz (we read lz from the scan end, so pad frames
-    # must be neutral). A frame of all-zero log-obs multiplies alpha by
-    # the transition matrix only — harmless for argmax but changes lz.
-    # Simplest exact scheme: pad with zeros and read alpha at the true
-    # final frame on the host side.
+    # T-padding with zero-obs frames is exact for every returned value:
+    # padded frames only extend the scan past the true end, and both
+    # log_alpha and log_z are read from the true frame range below.
     lo = _pad_to(lo, Tp, 1, 0.0)
     lo = _pad_to(lo, Bp, 0, 0.0)
 
