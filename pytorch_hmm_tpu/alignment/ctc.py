@@ -123,7 +123,7 @@ def ctc_forward_algorithm(
         nxt = jnp.where((t < input_lengths)[:, None], nxt, a)
         return nxt, nxt
 
-    _, rest = jax.lax.scan(step, a0, jnp.arange(1, T))
+    _, rest = jax.lax.scan(step, a0, jnp.arange(1, T), unroll=8)
     log_alpha = jnp.concatenate([a0[:, None], rest.swapaxes(0, 1)], axis=1)
 
     last = jnp.take_along_axis(
@@ -190,7 +190,9 @@ def ctc_backward_algorithm(
         nxt = jnp.where((t + 1 < input_lengths)[:, None], nxt, bT)
         return nxt, nxt
 
-    _, rest = jax.lax.scan(step, bT, jnp.arange(T - 1), reverse=True)
+    _, rest = jax.lax.scan(
+        step, bT, jnp.arange(T - 1), reverse=True, unroll=8
+    )
     return jnp.concatenate([rest.swapaxes(0, 1), bT[:, None]], axis=1)
 
 
@@ -262,7 +264,9 @@ def ctc_viterbi_alignment(
         choice = jnp.where(frozen, jnp.zeros_like(choice), choice)
         return nxt, choice
 
-    delta_T, choices = jax.lax.scan(step, a0, jnp.arange(1, T))
+    delta_T, choices = jax.lax.scan(
+        step, a0, jnp.arange(1, T), unroll=8
+    )
     # choices: (T-1, B, S); choices[t] = back-step for the move into t+1.
 
     end_pos1 = 2 * target_lengths

@@ -172,7 +172,10 @@ def _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi: bool):
         return (mu_buf, c_buf, c_t), (val, dstar_t, phi_t)
 
     xs = (log_obs.swapaxes(0, 1), jnp.arange(T))
-    _, (vals, dstars, phis) = jax.lax.scan(step, (mu0, c0, crun0), xs)
+    # unroll amortizes the TPU while-loop overhead across fused steps.
+    _, (vals, dstars, phis) = jax.lax.scan(
+        step, (mu0, c0, crun0), xs, unroll=4
+    )
     return (
         vals.swapaxes(0, 1),
         dstars.swapaxes(0, 1),
@@ -244,7 +247,7 @@ def hsmm_backward(
 
     xs = (log_obs.swapaxes(0, 1), jnp.arange(T))
     _, (bstars, bstarts) = jax.lax.scan(
-        step, (w0, bstart0, c0), xs, reverse=True
+        step, (w0, bstart0, c0), xs, reverse=True, unroll=4
     )
     return bstars.swapaxes(0, 1), bstarts.swapaxes(0, 1)
 
