@@ -35,6 +35,7 @@ from .checkpoint import (
     save_checkpoint,
     streaming_session_state,
 )
+from .logging_utils import MetricsLogger, get_logger
 from .native import NativeFramer, native_available
 from .profiling import benchmark_op, device_time, trace
 from .api import (
@@ -138,6 +139,9 @@ __all__ = [
     # native frontend
     "NativeFramer",
     "native_available",
+    # logging
+    "get_logger",
+    "MetricsLogger",
     # model layers
     "HMMLayer",
     "GaussianHMMLayer",

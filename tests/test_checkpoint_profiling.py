@@ -87,3 +87,21 @@ def test_trace_context(tmp_path):
         np.asarray(jnp.sum(jnp.ones((16, 16))))
     # The trace directory should exist with content.
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_metrics_logger(tmp_path):
+    import json as _json
+
+    path = tmp_path / "metrics.jsonl"
+    with ph.MetricsLogger(str(path), echo=False) as m:
+        m.log(step=1, loss=jnp.float32(1.5))
+        m.log(step=2, loss=0.75, note="ok")
+    lines = [_json.loads(l) for l in path.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["loss"] == 1.5 and lines[1]["note"] == "ok"
+
+
+def test_get_logger_singleton():
+    a = ph.get_logger()
+    b = ph.get_logger()
+    assert a is b and a.handlers
