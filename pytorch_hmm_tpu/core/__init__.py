@@ -24,7 +24,7 @@ from .fb import (
     log_likelihood,
     xi_expectations,
 )
-from .viterbi import viterbi
+from .viterbi import viterbi, viterbi_associative
 from .sample import sample_one_hot, sample_states
 
 __all__ = [
@@ -43,6 +43,7 @@ __all__ = [
     "log_likelihood",
     "xi_expectations",
     "viterbi",
+    "viterbi_associative",
     "sample_one_hot",
     "sample_states",
 ]

@@ -237,3 +237,29 @@ class TestHMMClass:
         stats = analyze_transition_patterns(list(np.asarray(states)))
         assert stats["self_loop_ratio"] > 0.6
         assert stats["backward_ratio"] == 0.0
+
+
+class TestAssociativeViterbi:
+    """Fully parallel (O(log T) depth) Viterbi must match the scan."""
+
+    def test_matches_sequential(self, rng):
+        from pytorch_hmm_tpu.core.viterbi import viterbi_associative
+
+        for (B, T, K) in [(4, 100, 7), (2, 33, 12), (3, 257, 24)]:
+            lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+            la = jnp.asarray(
+                np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32
+            )
+            lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+            s0, sc0 = core.viterbi(lo, la, lp)
+            s1, sc1 = viterbi_associative(lo, la, lp)
+            assert bool(jnp.all(s0 == s1)), (B, T, K)
+            np.testing.assert_allclose(sc0, sc1, atol=1e-3)
+
+    def test_rejects_time_varying(self, rng):
+        from pytorch_hmm_tpu.core.viterbi import viterbi_associative
+
+        with pytest.raises(ValueError, match="static"):
+            viterbi_associative(
+                jnp.zeros((1, 4, 3)), jnp.zeros((1, 4, 3, 3)), jnp.zeros(3)
+            )
