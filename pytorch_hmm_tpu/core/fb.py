@@ -92,7 +92,7 @@ def forward_log(
         xs = (log_obs[:, 1:].swapaxes(0, 1), log_a[:, 1:].swapaxes(0, 1)) if tv \
             else log_obs[:, 1:].swapaxes(0, 1)
         (_, _), rest = jax.lax.scan(
-            step, (la0, jnp.int32(1)), xs, unroll=8
+            step, (la0, jnp.int32(1)), xs, unroll=16
         )
         log_alpha = jnp.concatenate([la0[:, None], rest.swapaxes(0, 1)], axis=1)
 
@@ -164,7 +164,7 @@ def backward_log(
     xs = (log_obs[:, 1:].swapaxes(0, 1), log_a[:, 1:].swapaxes(0, 1)) if tv \
         else log_obs[:, 1:].swapaxes(0, 1)
     (_, _), rest = jax.lax.scan(
-        step, (bT, jnp.int32(T - 2)), xs, reverse=True, unroll=8
+        step, (bT, jnp.int32(T - 2)), xs, reverse=True, unroll=16
     )
     return jnp.concatenate([rest.swapaxes(0, 1), bT[:, None]], axis=1)
 

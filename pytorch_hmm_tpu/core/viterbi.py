@@ -78,7 +78,7 @@ def viterbi(
     # unroll amortizes the TPU while-loop overhead (~2.3 us/iter)
     # across several fused steps.
     (delta_T, _), psis = jax.lax.scan(
-        fwd, (delta0, jnp.int32(1)), xs, unroll=8
+        fwd, (delta0, jnp.int32(1)), xs, unroll=16
     )
     # psis[t] are the backpointers for step t+1 (into frame t+1), t in [0, T-2].
 
@@ -90,7 +90,7 @@ def viterbi(
         return prev, prev
 
     _, prev_states = jax.lax.scan(
-        back, last_state, psis, reverse=True, unroll=8
+        back, last_state, psis, reverse=True, unroll=16
     )
     states = jnp.concatenate(
         [prev_states.swapaxes(0, 1), last_state[:, None]], axis=1

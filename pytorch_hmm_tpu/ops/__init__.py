@@ -87,15 +87,17 @@ def auto_forward(log_obs, log_a, log_pi):
     return core.forward_log(log_obs, log_a, log_pi)
 
 
-# The Viterbi kernel's phase-2 DMA choreography is still being validated
-# on real hardware (interpret mode passes; a hardware hang was observed).
-# Until it is proven, auto-dispatch keeps decode on the XLA scan; set
-# PYTORCH_HMM_TPU_PALLAS_VITERBI=1 to opt in.
+# The two-kernel Viterbi is hardware-validated (exact paths on v5e) but
+# measured SLOWER than the unrolled XLA scan (the trellis is latency-
+# chain-bound either way, and the XLA path avoids the backtrace's second
+# sweep) — so decode defaults to the XLA scan; set
+# PYTORCH_HMM_TPU_PALLAS_VITERBI=1 to force the Pallas path.
 _VITERBI_OPT_IN = os.environ.get("PYTORCH_HMM_TPU_PALLAS_VITERBI") == "1"
 
 
 def auto_viterbi(log_obs, log_a, log_pi):
-    """``(states, score)`` via Pallas on TPU (opt-in), XLA scan otherwise."""
+    """``(states, score)`` — unrolled XLA scan (fastest measured), Pallas
+    on opt-in."""
     if (
         _VITERBI_OPT_IN
         and pallas_available(log_obs.shape[-1])
@@ -106,7 +108,11 @@ def auto_viterbi(log_obs, log_a, log_pi):
 
 
 def auto_log_likelihood(log_obs, log_a, log_pi):
-    """Differentiable ``log Z (B,)`` via the Pallas kernel on TPU."""
+    """Differentiable ``log Z (B,)`` via the Pallas forward kernel on TPU
+    (hardware-validated; ~1.5-3x the XLA scan at long T). Tile sizes are
+    auto-picked inside the kernels (one grid program when the batch fills
+    32 sublane rows; t_chunk=128 — t_chunk=64 wedged the chip's DMA
+    engine in hardware testing and is avoided everywhere)."""
     if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
         return pallas_log_likelihood(log_obs, log_a, log_pi)
     return core.log_likelihood(log_obs, log_a, log_pi)

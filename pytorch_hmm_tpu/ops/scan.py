@@ -165,8 +165,8 @@ def pallas_forward(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_pi: jax.Array,
-    t_chunk: int = 256,
-    b_tile: int = SUBLANES,
+    t_chunk: int = 128,
+    b_tile: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward algorithm on the Pallas scan kernel.
 
@@ -177,6 +177,10 @@ def pallas_forward(
     B, T, K = log_obs.shape
     if K > LANES:
         raise ValueError(f"pallas_forward supports K <= {LANES}, got {K}")
+    if b_tile is None:
+        # One grid program when the batch fills 32 rows (grid programs run
+        # serially on the core); otherwise the minimal 8-row tile.
+        b_tile = 32 if B % 32 == 0 else SUBLANES
 
     Kp = LANES
     Tp = _ceil_to(T, t_chunk)
@@ -330,8 +334,8 @@ def _backward_kernel(
 def pallas_backward(
     log_obs: jax.Array,
     log_a: jax.Array,
-    t_chunk: int = 256,
-    b_tile: int = SUBLANES,
+    t_chunk: int = 128,
+    b_tile: Optional[int] = None,
 ) -> jax.Array:
     """Backward algorithm: ``log_beta (B, T, K)`` (cf. ``core.backward_log``).
 
@@ -344,6 +348,8 @@ def pallas_backward(
     B, T, K = log_obs.shape
     if K > LANES:
         raise ValueError(f"pallas_backward supports K <= {LANES}, got {K}")
+    if b_tile is None:
+        b_tile = 32 if B % 32 == 0 else SUBLANES
 
     Kp = LANES
     Tp = _ceil_to(T, t_chunk)
@@ -593,8 +599,8 @@ def pallas_viterbi(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_pi: jax.Array,
-    t_chunk: int = 256,
-    b_tile: int = SUBLANES,
+    t_chunk: int = 128,
+    b_tile: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Viterbi decode: ``(states (B, T), score (B,))``.
 
@@ -605,6 +611,8 @@ def pallas_viterbi(
     B, T, K = log_obs.shape
     if K > LANES:
         raise ValueError(f"pallas_viterbi supports K <= {LANES}, got {K}")
+    if b_tile is None:
+        b_tile = 32 if B % 32 == 0 else SUBLANES
 
     Kp = LANES
     k_sub = _ceil_to(K, SUBLANES)
