@@ -181,3 +181,144 @@ def viterbi_associative(
         suffix, last_state[:, None, None].repeat(T, 1), axis=2
     )[:, :, 0]
     return states, score
+
+
+@partial(jax.jit, static_argnames=("blocks", "unroll"))
+def viterbi_blocked(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    blocks: int = 8,
+    unroll: int = 8,
+):
+    """Single-chip time-block-parallel Viterbi.
+
+    The sequential scan is latency-bound at ~1.5 µs per step on TPU
+    regardless of the step body, so the wall clock is set by the chain
+    *length*. This runs the same block-parallel decomposition as
+    ``parallel.sharded_viterbi`` but with the P blocks vectorized into
+    the batch dimension of one device: three chains of length T/P
+    (operator fold, rescan, hypothesis backtrace) replace two chains of
+    length T — a ~P/3 wall-clock win for small K where the extra
+    O(K³/K²) fold work stays cheap.
+
+    Exact: identical paths to ``viterbi``. Static (K, K) transitions.
+    Returns ``(states (B, T), score (B,))``.
+    """
+    B, T, K = log_obs.shape
+    if log_a.ndim != 2:
+        raise ValueError("viterbi_blocked requires static (K, K) log_a")
+    P = blocks
+    Tb = -(-T // P)
+    Tp = Tb * P
+    neg = jnp.asarray(-1e30, log_obs.dtype)
+    lo = jnp.pad(log_obs, ((0, 0), (0, Tp - T), (0, 0)))
+    # (B, P, Tb, K) — time-major per block for the scans.
+    lo_b = lo.reshape(B, P, Tb, K)
+    delta0 = log_pi + log_obs[:, 0]
+
+    g_idx = (
+        jnp.arange(P)[:, None] * Tb + jnp.arange(Tb)[None, :]
+    )  # (P, Tb) global frame index
+
+    eye = jnp.where(jnp.eye(K, dtype=bool), 0.0, neg)
+
+    def max_matmul(x, y):
+        return jnp.max(x[..., :, :, None] + y[..., None, :, :], axis=-2)
+
+    # ---- Phase A: per-block operator fold (chain length Tb) ----
+    def fold(carry, xs):
+        lo_t, t = xs  # (B, P, K), (P,)
+        m = log_a[None, None] + lo_t[:, :, None, :]
+        rank1 = jnp.broadcast_to(delta0[:, None, None, :], (B, P, K, K))
+        # Global frame 0 (block 0 position 0) is the rank-1 seed; padded
+        # frames (t >= T) are identity steps.
+        m = jnp.where((t == 0)[None, :, None, None], rank1, m)
+        m = jnp.where(
+            (t >= T)[None, :, None, None], eye[None, None], m
+        )
+        return max_matmul(carry, m), None
+
+    f0 = jnp.broadcast_to(eye, (B, P, K, K))
+    F, _ = jax.lax.scan(
+        fold, f0, (lo_b.transpose(2, 0, 1, 3), g_idx.T), unroll=unroll
+    )  # (B, P, K, K)
+
+    # ---- Prefix over blocks (P tiny steps, unrolled) ----
+    entries = [jnp.broadcast_to(delta0, (B, K))]  # entry delta per block
+    acc = F[:, 0]
+    for b in range(1, P):
+        entries.append(acc[:, 0, :])  # rank-1 rows → delta at block start-1
+        acc = max_matmul(acc, F[:, b])
+    entry = jnp.stack(entries, axis=1)  # (B, P, K)
+    score = jnp.max(acc[:, 0, :], axis=-1)
+    final_state = jnp.argmax(acc[:, 0, :], axis=-1).astype(jnp.int32)
+
+    # ---- Phase B: per-block rescan (chain length Tb) ----
+    def rescan(carry, xs):
+        lo_t, t = xs
+        stepped = (
+            jnp.max(carry[:, :, :, None] + log_a[None, None], axis=2) + lo_t
+        )
+        first = delta0[:, None, :] + 0.0 * lo_t
+        d = jnp.where((t == 0)[None, :, None], first, stepped)
+        d = jnp.where((t >= T)[None, :, None], carry, d)
+        return d, d
+
+    _, deltas = jax.lax.scan(
+        rescan, entry, (lo_b.transpose(2, 0, 1, 3), g_idx.T), unroll=unroll
+    )  # (Tb, B, P, K)
+    delta_flat = (
+        deltas.transpose(1, 2, 0, 3).reshape(B, Tp, K)[:, :T]
+    )
+
+    # ---- All backpointers vectorized (no chain) ----
+    psi = jnp.argmax(
+        delta_flat[:, :-1, :, None] + log_a[None, None], axis=2
+    ).astype(jnp.int32)  # (B, T-1, K): map into frame t (t >= 1)
+    ident = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, None, :], (B, 1, K)
+    )
+    psi = jnp.concatenate([ident, psi], axis=1)  # (B, T, K)
+    psi = jnp.pad(psi, ((0, 0), (0, Tp - T), (0, 0)), mode="edge")
+    # Padded frames: identity maps so the backtrace passes through.
+    pad_mask = jnp.arange(Tp) >= T
+    psi = jnp.where(
+        pad_mask[None, :, None], jnp.arange(K, dtype=jnp.int32)[None, None],
+        psi,
+    )
+    psi_b = psi.reshape(B, P, Tb, K)
+
+    # ---- Phase C: per-block hypothesis backtrace (chain length Tb) ----
+    all_states = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, None, :], (B, P, K)
+    )
+
+    def back(carry, psi_t):  # psi_t (B, P, K)
+        prev = jnp.take_along_axis(psi_t, carry, axis=2)
+        return prev, carry
+
+    link, states_rev = jax.lax.scan(
+        back, all_states, psi_b.transpose(2, 0, 1, 3), reverse=True,
+        unroll=unroll,
+    )
+    # states_rev: (Tb, B, P, K) — state at each local frame per exit
+    # hypothesis; link: (B, P, K) — predecessor exit state in block b-1.
+
+    # ---- Stitch block exit states (P tiny steps) ----
+    exits = [None] * P
+    exits[P - 1] = final_state
+    for b in range(P - 1, 0, -1):
+        exits[b - 1] = jnp.take_along_axis(
+            link[:, b], exits[b][:, None], axis=1
+        )[:, 0]
+    exit_states = jnp.stack(exits, axis=1)  # (B, P)
+
+    sel = exit_states[:, None, :, None]  # (B, 1, P, 1)
+    states = jnp.take_along_axis(
+        states_rev.transpose(1, 0, 2, 3), 
+        jnp.broadcast_to(sel, (B, Tb, P, 1)),
+        axis=3,
+    )[..., 0]  # (B, Tb, P)
+    states = states.transpose(0, 2, 1).reshape(B, Tp)[:, :T]
+    return states, score

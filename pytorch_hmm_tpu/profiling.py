@@ -44,19 +44,23 @@ def device_time(
     *args,
     reps: int = 20,
 ) -> float:
-    """Median-free chained device time per call, in seconds.
+    """Pure device time per call, in seconds (round-trip cancelled).
 
     ``fn(*args)`` must return an array (or pytree); a scalar summary of
-    the first leaf is threaded through ``reps`` chained calls so the
-    device cannot elide or overlap them, then fetched once.
+    the first leaf is threaded through chained calls so the device
+    cannot elide or overlap them. Chains of length ``reps`` and
+    ``2*reps`` are each fetched once; their difference removes the
+    fixed host↔device round-trip.
     """
 
     def summarize(out):
         leaf = jax.tree.leaves(out)[0]
         return jnp.sum(leaf).astype(jnp.float32)
 
-    @jax.jit
-    def chain(*args):
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def chain(*args, n):
         def body(i, acc):
             shifted = tuple(
                 a + jnp.zeros((), a.dtype) * acc.astype(a.dtype)
@@ -64,12 +68,20 @@ def device_time(
                 for a in args
             )
             return acc + summarize(fn(*shifted))
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    np.asarray(chain(*args))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(chain(*args))
-    return (time.perf_counter() - t0) / reps
+    def timed(n):
+        np.asarray(chain(*args, n=n))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(chain(*args, n=n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(reps)
+    t2 = timed(2 * reps)
+    return max(t2 - t1, 1e-9) / reps
 
 
 def benchmark_op(

@@ -263,3 +263,21 @@ class TestAssociativeViterbi:
             viterbi_associative(
                 jnp.zeros((1, 4, 3)), jnp.zeros((1, 4, 3, 3)), jnp.zeros(3)
             )
+
+
+class TestBlockedViterbi:
+    """Single-chip time-block-parallel Viterbi must match the scan."""
+
+    def test_matches_sequential(self, rng):
+        from pytorch_hmm_tpu.core.viterbi import viterbi_blocked
+
+        for (B, T, K, P) in [(4, 100, 7, 4), (2, 97, 12, 8), (2, 8, 3, 4)]:
+            lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+            la = jnp.asarray(
+                np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32
+            )
+            lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+            s0, sc0 = core.viterbi(lo, la, lp)
+            s1, sc1 = viterbi_blocked(lo, la, lp, blocks=P)
+            assert bool(jnp.all(s0 == s1)), (B, T, K, P)
+            np.testing.assert_allclose(sc0, sc1, atol=1e-3)
