@@ -114,9 +114,24 @@ class HMM:
         return out
 
     def viterbi_decode(self, observations: ArrayLike, method: str = "scan"):
-        """Best path + its log score (``hmm.py:132-184``)."""
+        """Best path + its log score (``hmm.py:132-184``).
+
+        ``method``: ``scan`` (sequential, default) | ``associative``
+        (O(log T) depth) | ``blocked`` (single-chip time-block parallel)
+        — all exact.
+        """
         obs, batched = self._batched(observations)
-        states, score = core.viterbi(safe_log(obs), self.log_P, self.log_p0)
+        log_obs = safe_log(obs)
+        if method == "associative":
+            states, score = core.viterbi_associative(
+                log_obs, self.log_P, self.log_p0
+            )
+        elif method == "blocked":
+            from .core.viterbi import viterbi_blocked
+
+            states, score = viterbi_blocked(log_obs, self.log_P, self.log_p0)
+        else:
+            states, score = core.viterbi(log_obs, self.log_P, self.log_p0)
         if not batched:
             return states[0], score[0]
         return states, score
