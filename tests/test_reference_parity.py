@@ -1,0 +1,166 @@
+"""Numerical parity against the actual reference implementation.
+
+These tests import `pytorch_hmm` from the read-only reference mount and
+compare outputs on identical inputs — posteriors, Viterbi paths,
+transition builders and metrics must agree within float tolerance
+(Viterbi paths exactly). They are skipped automatically when the
+reference is not mounted, so the suite stays standalone.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+_REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not _REF.exists(), reason="reference checkout not mounted"
+)
+
+if _REF.exists():
+    sys.path.insert(0, str(_REF))
+    torch = pytest.importorskip("torch")
+
+import pytorch_hmm_tpu as ph  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    import pytorch_hmm as ref_pkg
+
+    return ref_pkg
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    K, T = 6, 40
+    P = rng.dirichlet(np.ones(K), size=K).astype(np.float32)
+    p0 = rng.dirichlet(np.ones(K)).astype(np.float32)
+    obs = rng.random((T, K)).astype(np.float32)
+    return P, p0, obs
+
+
+def test_forward_backward_parity(ref, problem):
+    P, p0, obs = problem
+    r = ref.HMMPyTorch(torch.tensor(P), torch.tensor(p0))
+    post_r, alpha_r, beta_r = r.forward_backward(torch.tensor(obs))
+
+    ours = ph.HMM(P, p0)
+    post_o, alpha_o, beta_o = ours.forward_backward(obs)
+
+    # The reference keeps a leading batch dim even for unbatched input.
+    np.testing.assert_allclose(
+        np.asarray(post_o), post_r.detach().numpy()[0], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha_o), alpha_r.detach().numpy()[0], atol=2e-4
+    )
+
+
+def test_viterbi_path_parity(ref, problem):
+    P, p0, obs = problem
+    r = ref.HMMPyTorch(torch.tensor(P), torch.tensor(p0))
+    states_r, score_r = r.viterbi_decode(torch.tensor(obs))
+
+    ours = ph.HMM(P, p0)
+    states_o, score_o = ours.viterbi_decode(obs)
+
+    np.testing.assert_array_equal(
+        np.asarray(states_o), states_r.detach().numpy()
+    )
+
+
+def test_likelihood_divergence_is_the_reference_bug(ref, problem):
+    """Our likelihood is the true log Z; the reference's prob-space
+    round trip (``hmm.py:203-206``) floors each forward entry at 1e-8
+    before re-logging, which destroys the value whenever
+    ``alpha_T < log(1e-8)``. Verify both facts exactly: the reference's
+    output equals the floored formula applied to the true alpha, and
+    ours equals the unfloored logsumexp."""
+    P, p0, obs = problem
+    r = ref.HMMPyTorch(torch.tensor(P), torch.tensor(p0))
+    ll_r = float(r.compute_likelihood(torch.tensor(obs)))
+
+    ours = ph.HMM(P, p0)
+    ll_o = float(ours.compute_likelihood(obs))
+
+    # True alpha from our forward pass (verified against the reference's
+    # alpha in test_forward_backward_parity).
+    import jax.numpy as jnp
+    from pytorch_hmm_tpu import core
+    from pytorch_hmm_tpu.core.semiring import safe_log
+
+    log_alpha, log_z = core.forward_log(
+        safe_log(jnp.asarray(obs))[None], ours.log_P, ours.log_p0
+    )
+    assert ll_o == pytest.approx(float(log_z[0]), abs=1e-3)
+
+    floored = np.logaddexp.reduce(
+        np.log(np.exp(np.asarray(log_alpha[0, -1], np.float64)) + 1e-8)
+    )
+    assert ll_r == pytest.approx(float(floored), abs=1e-3)
+
+
+@pytest.mark.parametrize(
+    "ttype", ["ergodic", "left_to_right", "left_to_right_skip", "circular"]
+)
+def test_transition_builder_parity(ref, ttype):
+    ref_m = ref.create_transition_matrix(5, ttype).detach().numpy()
+    our_m = np.asarray(ph.create_transition_matrix(5, ttype))
+    np.testing.assert_allclose(our_m, ref_m, atol=1e-5)
+
+
+def test_left_to_right_builder_parity(ref):
+    ref_m = ref.create_left_to_right_matrix(7, 0.8).detach().numpy()
+    our_m = np.asarray(ph.create_left_to_right_matrix(7, 0.8))
+    np.testing.assert_allclose(our_m, ref_m, atol=1e-5)
+
+
+def test_mcd_parity(ref):
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(30, 13)).astype(np.float32)
+    b = rng.normal(size=(30, 13)).astype(np.float32)
+    ref_v = ref.mel_cepstral_distortion(
+        torch.tensor(a), torch.tensor(b)
+    ).item()
+    our_v = float(ph.mel_cepstral_distortion(a, b))
+    assert our_v == pytest.approx(ref_v, rel=1e-4)
+
+
+def test_f0_rmse_parity(ref):
+    rng = np.random.default_rng(2)
+    f0a = np.abs(rng.normal(size=(50,))).astype(np.float32) * 100
+    f0b = np.abs(rng.normal(size=(50,))).astype(np.float32) * 100
+    ref_v = ref.f0_root_mean_square_error(
+        torch.tensor(f0a), torch.tensor(f0b)
+    ).item()
+    our_v = float(ph.f0_root_mean_square_error(f0a, f0b))
+    assert our_v == pytest.approx(ref_v, rel=1e-4)
+
+
+def test_duration_metrics_parity(ref):
+    pred = np.array([10.0, 20.0, 30.0, 15.0], np.float32)
+    gt = np.array([12.0, 19.0, 28.0, 15.0], np.float32)
+    ref_out = ref.duration_accuracy(torch.tensor(pred), torch.tensor(gt))
+    our_out = ph.duration_accuracy(pred, gt)
+    for k in ("mae", "rmse", "correlation"):
+        assert float(our_out[k]) == pytest.approx(
+            float(ref_out[k]), rel=1e-4
+        ), k
+
+
+def test_dtw_cost_parity(ref):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(10, 6)).astype(np.float32)
+    y = rng.normal(size=(12, 6)).astype(np.float32)
+    ref_cost = ref.alignment.dtw.dtw_distance(
+        torch.tensor(x), torch.tensor(y)
+    ).item()
+    our_cost = float(
+        __import__("pytorch_hmm_tpu").alignment.dtw_distance(x, y)
+    )
+    assert our_cost == pytest.approx(ref_cost, rel=1e-4)
