@@ -164,3 +164,112 @@ def test_dtw_cost_parity(ref):
         __import__("pytorch_hmm_tpu").alignment.dtw_distance(x, y)
     )
     assert our_cost == pytest.approx(ref_cost, rel=1e-4)
+
+
+def test_gmm_hmm_decode_parity(ref):
+    """Copy the reference GMM-HMM's weights into ours; Viterbi paths and
+    sequence scores must match (diag covariance, learnable transitions)."""
+    from flax import nnx
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    S, D, C, B, T = 5, 8, 3, 2, 30
+    r = ref.MixtureGaussianHMMLayer(
+        num_states=S, feature_dim=D, num_components=C,
+        covariance_type="diag", learnable_transitions=True,
+    )
+    ours = ph.MixtureGaussianHMMLayer(
+        S, D, C, covariance_type="diag", learnable_transitions=True,
+        rngs=nnx.Rngs(0),
+    )
+    ours.transition_logits[...] = jnp.asarray(
+        r.transition_logits.detach().numpy()
+    )
+    ours.mixture_weights_logits[...] = jnp.asarray(
+        r.mixture_weights_logits.detach().numpy()
+    )
+    ours.means[...] = jnp.asarray(r.means.detach().numpy())
+    ours.cov_params[...] = jnp.asarray(r.log_vars.detach().numpy())
+
+    rng = np.random.default_rng(4)
+    obs = rng.normal(size=(B, T, D)).astype(np.float32)
+
+    states_r, scores_r = r(torch.tensor(obs), return_log_probs=True)
+    states_o, scores_o = ours(jnp.asarray(obs), return_log_probs=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(states_o), states_r.detach().numpy()
+    )
+
+
+def test_gmm_emission_scores_parity(ref):
+    """Per-state GMM log-probs must match the reference's broadcast
+    formulation despite our matmul-form evaluation."""
+    from flax import nnx
+    import jax.numpy as jnp
+
+    torch.manual_seed(1)
+    S, D, C = 4, 6, 2
+    r = ref.MixtureGaussianHMMLayer(
+        num_states=S, feature_dim=D, num_components=C,
+        covariance_type="diag",
+    )
+    ours = ph.MixtureGaussianHMMLayer(S, D, C, rngs=nnx.Rngs(0))
+    ours.mixture_weights_logits[...] = jnp.asarray(
+        r.mixture_weights_logits.detach().numpy()
+    )
+    ours.means[...] = jnp.asarray(r.means.detach().numpy())
+    ours.cov_params[...] = jnp.asarray(r.log_vars.detach().numpy())
+
+    rng = np.random.default_rng(5)
+    obs = rng.normal(size=(2, 20, D)).astype(np.float32)
+    lp_r = r.get_observation_log_probs(torch.tensor(obs)).detach().numpy()
+    lp_o = np.asarray(ours.get_observation_log_probs(jnp.asarray(obs)))
+    np.testing.assert_allclose(lp_o, lp_r, atol=1e-3)
+
+
+def test_hsmm_decode_parity(ref):
+    """Copy reference HSMM weights into ours; decoded segmentations must
+    match on a short sequence (the reference's decoder is O(T·S²·D²)
+    Python, so keep T small)."""
+    from flax import nnx
+    import jax.numpy as jnp
+
+    torch.manual_seed(2)
+    S, D, Dur, T = 3, 4, 5, 20
+    r = ref.HSMMLayer(
+        num_states=S, feature_dim=D, duration_distribution="gamma",
+        max_duration=Dur, min_duration=1,
+    )
+    ours = ph.HSMMLayer(
+        num_states=S, feature_dim=D, duration_distribution="gamma",
+        max_duration=Dur, min_duration=1, rngs=nnx.Rngs(0),
+    )
+    ours.transition_logits[...] = jnp.asarray(
+        r.transition_logits.detach().numpy()
+    )
+    ours.observation_means[...] = jnp.asarray(
+        r.observation_means.detach().numpy()
+    )
+    ours.observation_log_vars[...] = jnp.asarray(
+        r.observation_log_vars.detach().numpy()
+    )
+    # Reference duration params are raw values fed through softplus at
+    # use; ours are raw pre-softplus too — copy directly.
+    ours.duration_shape[...] = jnp.asarray(
+        r.duration_shape.detach().numpy()
+    )
+    ours.duration_rate[...] = jnp.asarray(r.duration_rate.detach().numpy())
+
+    # Duration pmfs must agree first.
+    dur_r = r.get_duration_probabilities().detach().numpy()
+    dur_o = np.asarray(ours.get_duration_probabilities())
+    np.testing.assert_allclose(dur_o, dur_r, atol=1e-5)
+
+    rng = np.random.default_rng(6)
+    obs = rng.normal(size=(1, T, D)).astype(np.float32)
+    states_r, _ = r(torch.tensor(obs))
+    states_o, _ = ours(jnp.asarray(obs))
+    np.testing.assert_array_equal(
+        np.asarray(states_o)[0], states_r.detach().numpy()[0]
+    )
