@@ -273,3 +273,80 @@ def test_hsmm_decode_parity(ref):
     np.testing.assert_array_equal(
         np.asarray(states_o)[0], states_r.detach().numpy()[0]
     )
+
+
+def test_streaming_greedy_parity(ref):
+    """Copy the reference streaming processor's weights into ours and
+    feed identical chunks: greedy decoded states must match frame for
+    frame (the carried-state semantics are the same)."""
+    from flax import nnx
+    import jax.numpy as jnp
+
+    torch.manual_seed(3)
+    S, D = 4, 6
+    r = ref.StreamingHMMProcessor(
+        num_states=S, feature_dim=D, chunk_size=8, lookahead_frames=0,
+        max_delay_frames=100, use_beam_search=False,
+    )
+    ours = ph.StreamingHMMProcessor(
+        num_states=S, feature_dim=D, chunk_size=8, lookahead_frames=0,
+        max_delay_frames=100, use_beam_search=False, rngs=nnx.Rngs(0),
+    )
+    ours.transition_logits[...] = jnp.asarray(
+        r.transition_logits.detach().numpy()
+    )
+    # torch Linear stores weight (out, in); nnx kernel is (in, out).
+    lin1, lin2 = r.emission_net[0], r.emission_net[3]
+    ours.emission_hidden.kernel[...] = jnp.asarray(
+        lin1.weight.detach().numpy().T
+    )
+    ours.emission_hidden.bias[...] = jnp.asarray(lin1.bias.detach().numpy())
+    ours.emission_out.kernel[...] = jnp.asarray(
+        lin2.weight.detach().numpy().T
+    )
+    ours.emission_out.bias[...] = jnp.asarray(lin2.bias.detach().numpy())
+    r.eval()
+
+    rng = np.random.default_rng(7)
+    ours_states, ref_states = [], []
+    for _ in range(4):
+        chunk = rng.normal(size=(8, D)).astype(np.float32)
+        res_r = r.process_chunk(torch.tensor(chunk))
+        res_o = ours.process_chunk(chunk)
+        if res_r.decoded_states is not None:
+            ref_states.extend(res_r.decoded_states.tolist())
+        if res_o.decoded_states is not None:
+            ours_states.extend(np.asarray(res_o.decoded_states).tolist())
+    assert ref_states and ours_states == ref_states
+
+
+def test_dtw_path_parity(ref):
+    """DTW paths (not just costs) must match — both implementations
+    tie-break in [diagonal, vertical, horizontal] order."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(9, 5)).astype(np.float32)
+    y = rng.normal(size=(12, 5)).astype(np.float32)
+    pi_r, pj_r, cost_r = ref.alignment.dtw.dtw_alignment(
+        torch.tensor(x), torch.tensor(y)
+    )
+    pi_o, pj_o, cost_o = ph.dtw_alignment(x, y)
+    np.testing.assert_array_equal(np.asarray(pi_o), pi_r.numpy())
+    np.testing.assert_array_equal(np.asarray(pj_o), pj_r.numpy())
+    assert float(cost_o) == pytest.approx(float(cost_r), rel=1e-4)
+
+
+def test_ctc_greedy_decode_parity(ref):
+    """Greedy CTC decoding (argmax → collapse → de-blank) must match."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    T, B, C = 30, 2, 6
+    lp = np.log(rng.dirichlet(np.ones(C), size=(T, B))).astype(np.float32)
+    lens = np.array([30, 25])
+
+    r = ref.CTCAligner(num_classes=C)
+    out_r = r.decode(torch.tensor(lp), torch.tensor(lens))
+    ours = ph.CTCAligner(num_classes=C)
+    out_o = ours.decode(jnp.asarray(lp), jnp.asarray(lens))
+    for a, b in zip(out_o, out_r):
+        np.testing.assert_array_equal(np.asarray(a), b.numpy())
