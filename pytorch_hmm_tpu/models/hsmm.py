@@ -180,6 +180,67 @@ class HSMMLayer(TrainMode):
     def compute_loss(self, observations: jax.Array) -> jax.Array:
         return -jnp.mean(self.log_likelihood(observations))
 
+    def em_step(self, observations: jax.Array, var_floor: float = 1e-3):
+        """One Baum-Welch update for the HSMM (new capability — the
+        reference cannot train its HSMMs at all beyond autograd).
+
+        E-step: expected frame occupancy, segment-transition counts and
+        per-duration segment counts, obtained as gradients of ``log Z``
+        through the segment DP. M-step: closed-form Gaussian emission
+        update from occupancy-weighted moments; transition update from
+        normalized counts; duration parameters by moment matching the
+        posterior duration distribution (gamma: shape = m²/v,
+        rate = m/v; poisson: λ = m; weibull: moment-matched via gamma
+        then mapped through the mean/variance relations — approximated
+        by the gamma fit). Returns the mean log-likelihood before the
+        update.
+        """
+        obs = observations if observations.ndim == 3 else observations[None]
+        log_obs = self.get_observation_log_probs(obs)
+        occupancy, trans_counts, dur_counts, lz = _hsmm_em_stats(
+            log_obs, self._log_a(), self._log_pi(),
+            self.get_duration_log_probs(),
+        )
+
+        # Emissions: occupancy-weighted Gaussian moments.
+        gamma = occupancy  # (B, T, S) posterior usage of each state/frame
+        w = jnp.sum(gamma, axis=(0, 1)) + 1e-10  # (S,)
+        mean = jnp.einsum("bts,btd->sd", gamma, obs) / w[:, None]
+        ex2 = jnp.einsum("bts,btd->sd", gamma, obs * obs) / w[:, None]
+        var = jnp.maximum(ex2 - mean**2, var_floor)
+        self.observation_means[...] = mean
+        self.observation_log_vars[...] = jnp.log(var)
+
+        # Transitions: normalized expected segment-transition counts
+        # (diagonal stays structurally zero via the masked softmax).
+        tc = jnp.maximum(trans_counts, 0.0) + 1e-10
+        tc = tc * (1.0 - jnp.eye(self.num_states))
+        self.transition_logits[...] = jnp.log(
+            tc / jnp.sum(tc, axis=-1, keepdims=True)
+        )
+
+        # Durations: moment-match the posterior duration pmf.
+        dc = jnp.maximum(dur_counts, 0.0) + 1e-10  # (S, D)
+        d_grid = jnp.arange(1, self.max_duration + 1, dtype=jnp.float32)
+        p_d = dc / jnp.sum(dc, axis=-1, keepdims=True)
+        m = jnp.sum(p_d * d_grid, axis=-1)
+        v = jnp.maximum(
+            jnp.sum(p_d * d_grid**2, axis=-1) - m**2, 0.25
+        )
+        inv_sp = lambda y: jnp.log(jnp.expm1(jnp.maximum(y, 1e-4)))
+        if self.duration_distribution == "gamma":
+            self.duration_shape[...] = inv_sp(m * m / v)
+            self.duration_rate[...] = inv_sp(m / v)
+        elif self.duration_distribution == "poisson":
+            self.duration_lambda[...] = inv_sp(m)
+        else:  # weibull: fall back to matching the mean with fixed k=2
+            conc = jax.nn.softplus(self.duration_concentration[...])
+            scale = m / jnp.exp(
+                jax.scipy.special.gammaln(1.0 + 1.0 / conc)
+            )
+            self.duration_scale[...] = inv_sp(scale)
+        return jnp.mean(lz)
+
     def posteriors(self, observations: jax.Array) -> dict:
         """Exact frame occupancy + segment boundary posteriors (keys:
         ``gamma``, ``segment_start``, ``segment_end``, ``log_z``) — new
@@ -329,3 +390,21 @@ class DurationConstrainedHMM(TrainMode):
         return states
 
     forward = __call__
+
+
+def _hsmm_em_stats(log_obs, log_a, log_pi, log_dur):
+    """E-step sufficient statistics via autodiff: the gradient of
+    ``log Z`` w.r.t. each log-parameter tensor is its expected usage
+    count under the posterior (segment transitions for ``log_a``,
+    per-duration segment counts for ``log_dur``, frame occupancy for
+    ``log_obs``)."""
+
+    def lz_sum(log_obs, log_a, log_pi, log_dur):
+        _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur)
+        return jnp.sum(lz), lz
+
+    grads, lz = jax.grad(lz_sum, argnums=(0, 1, 3), has_aux=True)(
+        log_obs, log_a, log_pi, log_dur
+    )
+    occupancy, trans_counts, dur_counts = grads
+    return occupancy, trans_counts, dur_counts, lz

@@ -334,3 +334,29 @@ def test_hsmm_layer_posteriors():
         np.asarray(jnp.argmax(post["gamma"], -1)) == np.asarray(states)
     )
     assert agree > 0.5
+
+
+@pytest.mark.parametrize("dist", ["gamma", "poisson", "weibull"])
+def test_hsmm_em_improves_likelihood(dist):
+    """Baum-Welch on segment-structured data: the likelihood must climb
+    (a capability the reference lacks entirely)."""
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=4.0, size=(3, 5))
+    frames = []
+    for _ in range(2):
+        seq = []
+        for seg in range(6):
+            s = seg % 3
+            d = rng.integers(4, 9)
+            seq.append(centers[s] + 0.5 * rng.normal(size=(d, 5)))
+        frames.append(np.concatenate(seq)[:40])
+    obs = jnp.asarray(np.stack(frames), jnp.float32)
+
+    m = HSMMLayer(3, 5, duration_distribution=dist, max_duration=12,
+                  normalize_durations=True, rngs=nnx.Rngs(0))
+    lls = [float(m.em_step(obs)) for _ in range(5)]
+    assert lls[-1] > lls[0] + 100, lls
+    assert all(np.isfinite(lls)), lls
+    # Learned states must separate the clusters: decoded paths use all 3.
+    states, _ = m(obs)
+    assert len(np.unique(np.asarray(states))) == 3
