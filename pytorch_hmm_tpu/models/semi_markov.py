@@ -309,6 +309,65 @@ class SemiMarkovHMM(TrainMode):
     def compute_loss(self, observations: jax.Array) -> jax.Array:
         return -jnp.mean(self.log_likelihood(observations))
 
+    def em_step(self, observations: jax.Array, var_floor: float = 1e-3):
+        """One Baum-Welch update (gaussian observation model, parametric
+        durations). E-step statistics are gradients of ``log Z`` through
+        the segment DP; M-step mirrors ``HSMMLayer.em_step``. Returns
+        the mean log-likelihood before the update."""
+        if self.observation_model_type != "gaussian":
+            raise NotImplementedError("em_step requires gaussian emissions")
+        if self.duration_model.distribution_type == "neural":
+            raise NotImplementedError(
+                "em_step requires a parametric duration model"
+            )
+        obs = observations if observations.ndim == 3 else observations[None]
+        log_obs = self.observation_log_probs(obs)
+
+        def lz_sum(log_obs, log_a, log_pi, log_dur):
+            _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur)
+            return jnp.sum(lz), lz
+
+        (occupancy, trans_counts, pi_counts, dur_counts), lz = jax.grad(
+            lz_sum, argnums=(0, 1, 2, 3), has_aux=True
+        )(log_obs, self._log_a(), self._log_pi(),
+          self.duration_model.log_pmf_table())
+
+        gamma = occupancy
+        w = jnp.sum(gamma, axis=(0, 1)) + 1e-10
+        mean = jnp.einsum("bts,btd->sd", gamma, obs) / w[:, None]
+        ex2 = jnp.einsum("bts,btd->sd", gamma, obs * obs) / w[:, None]
+        self.observation_means[...] = mean
+        self.observation_logvars[...] = jnp.log(
+            jnp.maximum(ex2 - mean**2, var_floor)
+        )
+
+        tc = jnp.maximum(trans_counts, 0.0) + 1e-10
+        tc = tc * (1.0 - jnp.eye(self.num_states))
+        self.transition_logits[...] = jnp.log(
+            tc / jnp.sum(tc, axis=-1, keepdims=True)
+        )
+        pc = jnp.maximum(pi_counts, 0.0) + 1e-10
+        self.initial_logits[...] = jnp.log(pc / jnp.sum(pc))
+
+        dc = jnp.maximum(dur_counts, 0.0) + 1e-10
+        d_grid = jnp.arange(1, self.max_duration + 1, dtype=jnp.float32)
+        p_d = dc / jnp.sum(dc, axis=-1, keepdims=True)
+        m = jnp.sum(p_d * d_grid, axis=-1)
+        v = jnp.maximum(jnp.sum(p_d * d_grid**2, axis=-1) - m**2, 0.25)
+        inv_sp = lambda y: jnp.log(jnp.expm1(jnp.maximum(y, 1e-4)))
+        dm = self.duration_model
+        if dm.distribution_type == "gamma":
+            dm.alpha_params[...] = inv_sp(m * m / v)
+            dm.beta_params[...] = inv_sp(m / v)
+        elif dm.distribution_type == "poisson":
+            dm.lambda_params[...] = inv_sp(m)
+        else:  # gaussian
+            dm.mean_params[...] = inv_sp(
+                jnp.maximum(m - dm.min_duration, 1e-3)
+            )
+            dm.std_params[...] = inv_sp(jnp.sqrt(v))
+        return jnp.mean(lz)
+
     def posteriors(self, observations: jax.Array) -> Dict[str, jax.Array]:
         """Exact frame occupancy + segment boundary posteriors."""
         if observations.ndim == 2:

@@ -360,3 +360,31 @@ def test_hsmm_em_improves_likelihood(dist):
     # Learned states must separate the clusters: decoded paths use all 3.
     states, _ = m(obs)
     assert len(np.unique(np.asarray(states))) == 3
+
+
+@pytest.mark.parametrize("dist", ["gamma", "poisson", "gaussian"])
+def test_semi_markov_em_improves_likelihood(dist):
+    rng = np.random.default_rng(1)
+    centers = rng.normal(scale=4.0, size=(3, 5))
+    frames = []
+    for _ in range(2):
+        seq = []
+        for seg in range(6):
+            s = seg % 3
+            d = rng.integers(4, 9)
+            seq.append(centers[s] + 0.5 * rng.normal(size=(d, 5)))
+        frames.append(np.concatenate(seq)[:40])
+    obs = jnp.asarray(np.stack(frames), jnp.float32)
+
+    m = SemiMarkovHMM(3, 5, max_duration=12, duration_distribution=dist,
+                      rngs=nnx.Rngs(0))
+    lls = [float(m.em_step(obs)) for _ in range(5)]
+    assert lls[-1] > lls[0] + 100, lls
+    assert all(np.isfinite(lls))
+
+
+def test_semi_markov_em_rejects_unsupported():
+    m = SemiMarkovHMM(3, 5, duration_distribution="neural",
+                      rngs=nnx.Rngs(0))
+    with pytest.raises(NotImplementedError):
+        m.em_step(jnp.zeros((1, 10, 5)))
