@@ -369,7 +369,7 @@ def test_semi_markov_em_improves_likelihood(dist):
     frames = []
     for _ in range(2):
         seq = []
-        for seg in range(6):
+        for seg in range(10):  # enough segments to always cover 40 frames
             s = seg % 3
             d = rng.integers(4, 9)
             seq.append(centers[s] + 0.5 * rng.normal(size=(d, 5)))
