@@ -350,3 +350,52 @@ def test_ctc_greedy_decode_parity(ref):
     out_o = ours.decode(jnp.asarray(lp), jnp.asarray(lens))
     for a, b in zip(out_o, out_r):
         np.testing.assert_array_equal(np.asarray(a), b.numpy())
+
+
+def test_neural_hmm_parity(ref):
+    """Copy a reference NeuralHMM's weights (gaussian observation head,
+    static transitions) into ours: per-state scores, posteriors and
+    Viterbi paths must match."""
+    from flax import nnx
+    import jax.numpy as jnp
+
+    torch.manual_seed(4)
+    S, D, H = 4, 6, 16
+    r = ref.NeuralHMM(num_states=S, observation_dim=D, context_dim=0,
+                      hidden_dim=H, observation_type="gaussian")
+    r.eval()
+    ours = ph.NeuralHMM(S, D, context_dim=0, hidden_dim=H,
+                        rngs=nnx.Rngs(0)).eval()
+
+    om_r, om_o = r.observation_model, ours.observation_model
+    t = lambda w: jnp.asarray(w.detach().numpy())
+    om_o.fe1.kernel[...] = t(om_r.feature_net[0].weight).T
+    om_o.fe1.bias[...] = t(om_r.feature_net[0].bias)
+    om_o.fe2.kernel[...] = t(om_r.feature_net[3].weight).T
+    om_o.fe2.bias[...] = t(om_r.feature_net[3].bias)
+    om_o.state_embedding.embedding[...] = t(om_r.state_embedding.weight)
+    om_o.mean_net.kernel[...] = t(om_r.mean_net.weight).T
+    om_o.mean_net.bias[...] = t(om_r.mean_net.bias)
+    om_o.logvar_net.kernel[...] = t(om_r.logvar_net.weight).T
+    om_o.logvar_net.bias[...] = t(om_r.logvar_net.bias)
+    ours.transition_matrix[...] = t(r.transition_matrix)
+    ours.initial_logits[...] = t(r.initial_logits)
+
+    rng = np.random.default_rng(10)
+    obs = rng.normal(size=(2, 25, D)).astype(np.float32)
+
+    lp_r = om_r(torch.tensor(obs)).detach().numpy()
+    lp_o = np.asarray(om_o.log_probs(jnp.asarray(obs)))
+    np.testing.assert_allclose(lp_o, lp_r, atol=1e-3)
+
+    post_r, _, _ = r(torch.tensor(obs))
+    post_o, _, _ = ours(jnp.asarray(obs))
+    np.testing.assert_allclose(
+        np.asarray(post_o), post_r.detach().numpy(), atol=2e-3
+    )
+
+    states_r, _ = r.viterbi_decode(torch.tensor(obs))
+    states_o, _ = ours.viterbi_decode(jnp.asarray(obs))
+    np.testing.assert_array_equal(
+        np.asarray(states_o), states_r.detach().numpy()
+    )
