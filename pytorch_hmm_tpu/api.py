@@ -23,7 +23,6 @@ import math
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from .models import HSMMLayer, MixtureGaussianHMMLayer

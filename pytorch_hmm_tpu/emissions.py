@@ -18,8 +18,6 @@ Cholesky factors with time-chunked evaluation to bound memory.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -32,7 +31,6 @@ import numpy as np
 from flax import nnx
 
 from ..core.hsmm import hsmm_forward, hsmm_posteriors, hsmm_viterbi
-from ..core.semiring import logsumexp
 from ..durations import (
     gamma_duration_log_pmf,
     gaussian_duration_log_pmf,

@@ -40,7 +40,6 @@ observation probabilities do not change posteriors' argmax or the path).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

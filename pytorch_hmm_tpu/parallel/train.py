@@ -19,8 +19,7 @@ transition parameters; adapters below cover the built-in layer types.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -34,8 +34,7 @@ import time
 import warnings
 from collections import deque
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
