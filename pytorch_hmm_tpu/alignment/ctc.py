@@ -134,6 +134,9 @@ def ctc_forward_algorithm(
     end2 = jnp.take_along_axis(
         last, jnp.maximum(2 * target_lengths - 1, 0)[:, None], axis=1
     )
+    # Empty targets have a single exit position (the lone blank); both
+    # indices resolve to it, so mask the duplicate to avoid a +log 2.
+    end2 = jnp.where(target_lengths[:, None] > 0, end2, _NEG)
     ll = logsumexp(jnp.concatenate([end1, end2], axis=1), axis=1)
     return log_alpha, ll
 

@@ -73,7 +73,9 @@ def forward_log(
     B, T, K = log_obs.shape
     la0 = log_pi + log_obs[:, 0]  # (B, K) via broadcast if log_pi is (K,)
 
-    if method == "associative":
+    # The associative formulation has no masking hooks; padded batches
+    # must take the sequential path for correct results.
+    if method == "associative" and lengths is None:
         log_alpha = _forward_associative(log_obs, log_a, la0)
     else:
         tv = _time_varying(log_a)
@@ -143,7 +145,8 @@ def backward_log(
     B, T, K = log_obs.shape
     bT = jnp.zeros((B, K), log_obs.dtype)
 
-    if method == "associative":
+    # See forward_log: padded batches force the sequential path.
+    if method == "associative" and lengths is None:
         return _backward_associative(log_obs, log_a)
 
     tv = _time_varying(log_a)

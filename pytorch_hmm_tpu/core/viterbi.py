@@ -23,6 +23,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .semiring import max_matmul
+
 __all__ = ["viterbi", "viterbi_associative"]
 
 
@@ -155,9 +157,6 @@ def viterbi_associative(
     )
     chain = jnp.concatenate([d0, m], axis=1)              # (B, T, K, K)
 
-    def max_matmul(x, y):
-        return jnp.max(x[..., :, :, None] + y[..., None, :, :], axis=-2)
-
     prefixes = jax.lax.associative_scan(max_matmul, chain, axis=1)
     delta = prefixes[:, :, 0, :]                          # (B, T, K)
 
@@ -232,9 +231,6 @@ def viterbi_blocked(
     )  # (P, Tb) global frame index
 
     eye = jnp.where(jnp.eye(K, dtype=bool), 0.0, neg)
-
-    def max_matmul(x, y):
-        return jnp.max(x[..., :, :, None] + y[..., None, :, :], axis=-2)
 
     # ---- Phase A: per-block operator fold (chain length Tb) ----
     def fold(carry, xs):

@@ -139,11 +139,18 @@ def boundary_accuracy(
     pred = jnp.asarray(predicted_boundaries)
     gt = jnp.asarray(ground_truth_boundaries)
     dists = jnp.abs(pred[:, None] - gt[None, :])  # (P, G)
-    matched_gt = jnp.any(dists <= tolerance, axis=0)
+    matched_gt = jnp.any(dists <= tolerance, axis=0)    # recall side
+    matched_pred = jnp.any(dists <= tolerance, axis=1)  # precision side
     tp = jnp.sum(matched_gt)
-    fp = pred.shape[0] - tp
+    # Precision counts unmatched predictions; deriving fp from the raw
+    # prediction count (as the reference does, metrics.py:214-222) goes
+    # negative when one prediction matches several references.
+    fp = pred.shape[0] - jnp.sum(matched_pred)
     fn = gt.shape[0] - tp
-    precision = jnp.where(tp + fp > 0, tp / jnp.maximum(tp + fp, 1), 0.0)
+    n_matched_pred = jnp.sum(matched_pred)
+    precision = jnp.where(
+        pred.shape[0] > 0, n_matched_pred / max(pred.shape[0], 1), 0.0
+    )
     recall = jnp.where(tp + fn > 0, tp / jnp.maximum(tp + fn, 1), 0.0)
     f1 = jnp.where(
         precision + recall > 0,

@@ -329,9 +329,13 @@ class NeuralHMM(TrainMode):
             )
         else:
             self.transition_model = None
-            self.transition_matrix = nnx.Param(
-                jax.random.normal(rngs.params(), (num_states, num_states))
-            )
+        # The static fallback matrix always exists: calling a contextual
+        # model without a context falls back to it (the reference raises
+        # AttributeError in that case, neural.py:339-341 — a latent crash
+        # we do not reproduce).
+        self.transition_matrix = nnx.Param(
+            jax.random.normal(rngs.params(), (num_states, num_states))
+        )
 
         self.observation_model = NeuralObservationModel(
             num_states=num_states,

@@ -277,7 +277,10 @@ class SemiMarkovHMM(TrainMode):
             self.duration_model(state_sequence, duration_sequence), axis=1
         )
 
-        log_a = jax.nn.log_softmax(self.transition_logits[...], axis=-1)
+        # Same diagonal-masked transition model as the unsupervised DP —
+        # a supervised segmentation with s_t == s_{t+1} is structurally
+        # impossible and scores -inf, consistently.
+        log_a = self._log_a()
         trans = log_a[state_sequence[:, :-1], state_sequence[:, 1:]]
         log_transition = jnp.sum(trans, axis=1) + self._log_pi()[
             state_sequence[:, 0]

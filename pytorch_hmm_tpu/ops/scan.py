@@ -71,12 +71,12 @@ def _forward_kernel(
     pa_ref,      # (K, K) VMEM — exp(log_a), rows padded with 0
     lpi_ref,     # (1, K) VMEM
     alpha_out,   # (B, T, K) HBM
-    lz_ref,      # (Bt, 1) VMEM out
     *,
     t_chunk: int,
     T: int,
+    b_tile: int,
 ):
-    Bt = lz_ref.shape[0]
+    Bt = b_tile
     K = pa_ref.shape[1]
     n_chunks = T // t_chunk
     b0 = pl.program_id(0) * Bt
@@ -147,10 +147,6 @@ def _forward_kernel(
 
         out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
 
-        cmax = jnp.max(alpha, axis=-1, keepdims=True)
-        lz = cmax[:, 0] + jnp.log(jnp.sum(jnp.exp(alpha - cmax), axis=-1))
-        lz_ref[:, 0] = lz
-
     pl.run_scoped(
         body,
         obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
@@ -200,8 +196,10 @@ def pallas_forward(
 
     nb = Bp // b_tile
     grid = (nb,)
-    alpha_p, lz_p = pl.pallas_call(
-        functools.partial(_forward_kernel, t_chunk=t_chunk, T=Tp),
+    alpha_p = pl.pallas_call(
+        functools.partial(
+            _forward_kernel, t_chunk=t_chunk, T=Tp, b_tile=b_tile
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -209,20 +207,14 @@ def pallas_forward(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
         interpret=_use_interpret(),
     )(lo, pa, lpi)
 
     log_alpha = alpha_p[:B, :T, :K]
-    # lz from the true final frame (padding-exact).
+    # lz from the true final frame (padding-exact; the kernel emits no
+    # separate likelihood — padded frames would corrupt an in-kernel one).
     last = log_alpha[:, -1, :]
     lz = jax.scipy.special.logsumexp(last, axis=-1)
     return log_alpha, lz

@@ -45,7 +45,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.semiring import log_matmul, log_matvec, log_matvec_t, logsumexp
+from ..core.semiring import (
+    log_matmul,
+    log_matvec,
+    log_matvec_t,
+    logsumexp,
+    max_matmul,
+)
 from .mesh import DATA_AXIS, TIME_AXIS
 
 __all__ = [
@@ -213,10 +219,7 @@ def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=()):
     idx, p = _axis_info(axis_name)
     t0 = idx * Tl
 
-    def max_matmul_b(x, y):
-        # Contract over the middle (previous-state) axis: the summand has
-        # dims (..., i, k, j) after broadcasting.
-        return jnp.max(x[..., :, :, None] + y[..., None, :, :], axis=-2)
+    max_matmul_b = max_matmul  # shared (max, +) contraction from semiring
 
     def op(t_local):
         lo_t = log_obs[:, t_local]

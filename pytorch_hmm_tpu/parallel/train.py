@@ -36,20 +36,35 @@ __all__ = ["hmm_loss_parts", "make_sharded_train_step", "shard_batch"]
 def hmm_loss_parts(model, obs: jax.Array):
     """Adapter: ``(model, obs (B,T,D|K)) → (log_obs, log_a, log_pi)``.
 
-    Dispatches on the built-in layer types' interfaces; custom models can
-    pass their own ``parts_fn`` to ``make_sharded_train_step``.
+    Dispatches on the built-in *plain-HMM* layer types; segment models
+    (HSMM/semi-Markov) are rejected — their likelihood is a segment DP,
+    not the plain forward recursion this trainer shards. Custom models
+    can pass their own ``parts_fn`` to ``make_sharded_train_step``.
     """
-    if hasattr(model, "get_observation_log_probs"):  # MixtureGaussianHMMLayer
-        return model.get_observation_log_probs(obs), model._log_a(), model._log_pi()
-    if hasattr(model, "_compute_gaussian_log_probs"):  # GaussianHMMLayer
+    from ..models import (
+        GaussianHMMLayer,
+        HMMLayer,
+        MixtureGaussianHMMLayer,
+    )
+
+    if isinstance(model, MixtureGaussianHMMLayer):
+        return (
+            model.get_observation_log_probs(obs),
+            model._log_a(),
+            model._log_pi(),
+        )
+    if isinstance(model, GaussianHMMLayer):
         log_obs = model._compute_gaussian_log_probs(obs)
         log_a, log_pi = model.hmm_layer._log_params()
         return log_obs, log_a, log_pi
-    if hasattr(model, "_log_params"):  # HMMLayer (obs are per-state scores)
+    if isinstance(model, HMMLayer):
         log_obs, _ = model._prep(obs)
         log_a, log_pi = model._log_params()
         return log_obs, log_a, log_pi
-    raise TypeError(f"Don't know how to extract HMM parts from {type(model)}")
+    raise TypeError(
+        f"Don't know how to extract plain-HMM parts from {type(model)}; "
+        "pass parts_fn= for custom or segment models"
+    )
 
 
 def shard_batch(mesh: Mesh, obs: jax.Array) -> jax.Array:

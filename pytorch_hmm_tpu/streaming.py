@@ -373,10 +373,10 @@ class StreamingHMMProcessor(nnx.Module):
         """Re-shape the beam carry after a width change, keeping the best
         existing hypotheses."""
         W = self.beam_width
-        H = (
-            max(self.max_delay_frames, self.chunk_size)
-            + self.lookahead_frames
-        )
+        # Keep the existing history length: chunk_size may have changed
+        # since the buffers were allocated, and mixing lengths would
+        # break the widen-concatenate below.
+        H = self._beam_paths.shape[1]
         old_w = self._beam_scores.shape[0]
         if old_w == W:
             return

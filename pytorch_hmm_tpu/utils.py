@@ -134,7 +134,7 @@ def create_skip_state_matrix(
     skip_w = np.zeros(max(k, max_skip + 1))
     for s, ws in zip(skips, w):
         skip_w[s] = ws
-    skip_w = jnp.asarray(skip_w[:k] if k >= max_skip + 1 else skip_w[:k], dtype)
+    skip_w = jnp.asarray(skip_w[:k], dtype)
 
     p = jnp.where(non_last & (dist == 0), self_loop_prob, 0.0)
     p = jnp.where(non_last & (dist == 1), forward_prob, p)
