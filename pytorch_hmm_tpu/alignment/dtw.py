@@ -286,9 +286,9 @@ class DTWAligner(nnx.Module):
                 )(dist)[::-1]
             )
             # Hard path from the expected alignment: per-frame argmax.
-            pj = jnp.argmax(align, axis=0)
             pi = jnp.arange(x.shape[0])
-            return pi, jnp.argmax(align, axis=1), cost
+            pj = jnp.argmax(align, axis=1)
+            return pi, pj, cost
         pi, pj, cost = compute_dtw_path(dist, self.step_pattern)
         return pi, pj, cost[-1, -1]
 

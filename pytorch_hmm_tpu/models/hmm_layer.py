@@ -117,16 +117,16 @@ class HMMLayer(TrainMode):
         if self._training or not self.viterbi_inference:
             log_gamma, *_ = core.forward_backward(log_obs, log_a, log_pi)
             posteriors = jnp.exp(log_gamma)
-            alignment = jnp.argmax(posteriors, axis=-1)
-        else:
-            states, _ = auto_viterbi(log_obs, log_a, log_pi)
-            posteriors = jax.nn.one_hot(states, self.num_states)
-            alignment = states
+            if not batched:
+                posteriors = posteriors[0]
+            return posteriors
 
+        states, _ = auto_viterbi(log_obs, log_a, log_pi)
+        posteriors = jax.nn.one_hot(states, self.num_states)
         if not batched:
-            posteriors, alignment = posteriors[0], alignment[0]
-        if return_alignment and not self._training:
-            return posteriors, alignment
+            posteriors, states = posteriors[0], states[0]
+        if return_alignment:
+            return posteriors, states
         return posteriors
 
     forward = __call__

@@ -219,7 +219,11 @@ class HSMMLayer(TrainMode):
             tc / jnp.sum(tc, axis=-1, keepdims=True)
         )
 
-        # Durations: moment-match the posterior duration pmf.
+        # Durations: moment-match the posterior duration pmf — only when
+        # the duration parameters are trainable (fixed-duration models
+        # keep them as Buffers that EM must not touch).
+        if not self.learnable_duration_params:
+            return jnp.mean(lz)
         dc = jnp.maximum(dur_counts, 0.0) + 1e-10  # (S, D)
         d_grid = jnp.arange(1, self.max_duration + 1, dtype=jnp.float32)
         p_d = dc / jnp.sum(dc, axis=-1, keepdims=True)

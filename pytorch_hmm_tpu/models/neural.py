@@ -289,6 +289,11 @@ class NeuralObservationModel(TrainMode):
     ) -> jax.Array:
         """Sample observations for a state sequence (gaussian head only,
         ``neural.py:272-293``)."""
+        if self.model_type != "gaussian":
+            raise NotImplementedError(
+                f"sampling is implemented for the gaussian head only, "
+                f"not {self.model_type!r}"
+            )
         key = key if key is not None else jax.random.PRNGKey(0)
         emb = self.state_embedding(state_indices)
         mean = self.mean_net(emb)

@@ -129,9 +129,14 @@ class DurationModel(TrainMode):
         if durations is None:
             return out
         idx = jnp.clip(durations - 1, 0, self.max_duration - 1)
-        return jnp.take_along_axis(
+        scored = jnp.take_along_axis(
             out, idx[..., None].astype(jnp.int32), axis=-1
         )[..., 0]
+        # Durations outside the model's grid have zero probability; the
+        # DP could never produce them, so supervised scoring must agree
+        # (clipping would silently mis-score them as max_duration).
+        in_grid = (durations >= 1) & (durations <= self.max_duration)
+        return jnp.where(in_grid, scored, -jnp.inf)
 
     forward = __call__
 
@@ -423,7 +428,9 @@ class SemiMarkovHMM(TrainMode):
                 "sampling requires the gaussian observation model"
             )
         k_init, k_seg, k_obs = jax.random.split(key, 3)
-        log_a = jax.nn.log_softmax(self.transition_logits[...], axis=-1)
+        # Masked transitions: sampled segment chains must obey the same
+        # no-self-transition structure the DP scores with.
+        log_a = self._log_a()
 
         s0 = jax.random.categorical(k_init, self._log_pi())
         dur_table = self.duration_model.log_pmf_table()

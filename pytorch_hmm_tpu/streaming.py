@@ -469,10 +469,17 @@ def _beam_step(log_a, log_obs, n_valid, carry):
         lo_t = xs
         first = sc[:, None] + lo_t[None, :]                      # (W, S)
         cont = sc[:, None] + log_a[ls] + lo_t[None, :]
-        table = jnp.where(pl == 0, first, cont).reshape(-1)      # (W·S,)
-        top, idx = jax.lax.top_k(table, W)
-        parent = (idx // S).astype(jnp.int32)
-        new_state = (idx % S).astype(jnp.int32)
+        table = jnp.where(pl == 0, first, cont)                  # (W, S)
+        # Hypotheses in the same state are redundant (Markov property):
+        # keep only the best parent per state, THEN take the top-W
+        # states. A flat top_k over (W·S) would fill the beam with
+        # tied duplicates of one state, silently collapsing the beam
+        # to width 1.
+        best_per_state = jnp.max(table, axis=0)                  # (S,)
+        parent_per_state = jnp.argmax(table, axis=0)             # (S,)
+        top, new_state = jax.lax.top_k(best_per_state, W)
+        new_state = new_state.astype(jnp.int32)
+        parent = parent_per_state[new_state].astype(jnp.int32)
         # Roll the path history left by one and append.
         new_paths = jnp.concatenate(
             [pt[parent][:, 1:], new_state[:, None]], axis=1

@@ -103,3 +103,89 @@ def test_resize_beam_after_chunk_size_change():
     assert p._beam_paths.shape[0] == 5
     r = p.process_chunk(np.zeros((16, 6), np.float32))
     assert r.status in ("decoded", "buffering")
+
+
+def test_beam_hypotheses_are_distinct_states():
+    """The beam must hold distinct states (per-state reduction), not W
+    tied duplicates of the best state."""
+    p = ph.StreamingHMMProcessor(
+        6, 4, chunk_size=8, lookahead_frames=0, max_delay_frames=60,
+        use_beam_search=True, beam_width=4, rngs=nnx.Rngs(0),
+    )
+    rng = np.random.default_rng(0)
+    p.process_chunk(rng.normal(size=(8, 4)).astype(np.float32))
+    states = np.asarray(p._beam_states)
+    assert len(np.unique(states)) == len(states), states
+
+
+def test_beam_finds_delayed_reward_path():
+    """A path that is locally second-best but globally best must survive
+    in the beam (it cannot with a collapsed width-1 beam)."""
+    import jax.numpy as jnp
+    from pytorch_hmm_tpu.streaming import _beam_step, _greedy_step
+
+    S, T, W, H = 3, 4, 3, 16
+    # Transitions: state1 -> state2 is mandatory for the big final reward.
+    log_a = jnp.log(jnp.asarray([
+        [0.98, 0.01, 0.01],
+        [0.01, 0.01, 0.98],
+        [0.01, 0.01, 0.98],
+    ]))
+    # Frame scores: state0 slightly better early; state2 hugely better at
+    # the end, reachable only via state1 at t=1.
+    lo = jnp.log(jnp.asarray([
+        [0.5, 0.4, 0.1],
+        [0.5, 0.4, 0.1],
+        [0.1, 0.1, 0.8],
+        [0.01, 0.01, 0.98],
+    ]))
+    scores0 = jnp.where(jnp.arange(W) < S, -jnp.log(float(S)), -jnp.inf)
+    carry = (scores0, jnp.arange(W, dtype=jnp.int32) % S,
+             jnp.zeros((W, H), jnp.int32), jnp.int32(0))
+    (sc, ls, pt, pl), states_b, _ = _beam_step(
+        log_a, lo, jnp.int32(T), carry
+    )
+    gcarry = (jnp.int32(0), jnp.bool_(False))
+    _, states_g, _ = _greedy_step(log_a, lo, jnp.int32(T), gcarry)
+
+    # Exact Viterbi for truth.
+    from pytorch_hmm_tpu import core
+    true_path, _ = core.viterbi(lo[None], log_a, jnp.full((S,), -jnp.log(float(S))))
+    assert list(np.asarray(states_b)) == list(np.asarray(true_path[0])), (
+        "beam (W=S) must recover the Viterbi path"
+    )
+
+
+def test_hsmm_em_respects_fixed_durations():
+    m = ph.HSMMLayer(3, 4, max_duration=6,
+                     learnable_duration_params=False, rngs=nnx.Rngs(0))
+    before = np.asarray(m.duration_shape[...]).copy()
+    obs = jax.random.normal(jax.random.PRNGKey(0), (1, 20, 4))
+    m.em_step(obs)
+    np.testing.assert_array_equal(np.asarray(m.duration_shape[...]), before)
+
+
+def test_duration_model_out_of_grid_is_impossible():
+    dm = ph.DurationModel(3, max_duration=5, rngs=nnx.Rngs(0))
+    lp = dm(jnp.asarray([0, 1]), jnp.asarray([3, 9]))
+    assert np.isfinite(float(lp[0]))
+    assert np.isneginf(float(lp[1])), "duration 9 > max 5 must be -inf"
+
+
+def test_semi_markov_sample_no_self_transitions():
+    sm = ph.SemiMarkovHMM(3, 4, max_duration=6, rngs=nnx.Rngs(0))
+    for seed in range(4):
+        states, durs, obs = sm.sample(6, max_length=40,
+                                      key=jax.random.PRNGKey(seed))
+        s = np.asarray(states)
+        assert (np.diff(s) != 0).all(), s
+        # The model's own supervised forward must score its sample finite.
+        res = sm(obs[None] if obs.ndim == 2 else obs,
+                 states[None], durs[None]) if obs.shape[0] else None
+
+
+def test_neural_sample_guard():
+    m = ph.NeuralObservationModel(3, 4, model_type="mixture",
+                                  rngs=nnx.Rngs(0))
+    with pytest.raises(NotImplementedError, match="gaussian"):
+        m.sample(jnp.zeros((1, 5), jnp.int32))
