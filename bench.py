@@ -22,12 +22,9 @@ device time = total / R, with the host↔device round-trip amortized away.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-from flax import nnx
 
 BATCH = 32
 T = 1000
@@ -38,9 +35,47 @@ FRAME_SEC = 0.01
 REF_LATENCY_SEC = 3.2e-3  # RTX 3060, PERFORMANCE.md:11
 REPS = 20
 
+# The tunneled TPU worker occasionally needs recovery time after kernel
+# faults; probe it in short-lived subprocesses (an in-process hang would
+# block forever) and wait up to this long before measuring.
+PROBE_WAIT_SEC = 1500
+PROBE_INTERVAL_SEC = 60
+
+
+def wait_for_device() -> bool:
+    """Return True once a trivial device op completes; probe from
+    subprocesses so a wedged worker can't hang the benchmark itself."""
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "np.asarray(jnp.ones(2) + 1)"
+    )
+    deadline = time.time() + PROBE_WAIT_SEC
+    first = True
+    while time.time() < deadline:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=90, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print("device not responding; waiting for recovery...",
+                  file=sys.stderr)
+            first = False
+        time.sleep(PROBE_INTERVAL_SEC)
+    return False
+
 
 def main():
+    wait_for_device()
+
+    import jax
+    import jax.numpy as jnp
     import numpy as np
+    from flax import nnx
 
     from pytorch_hmm_tpu.models import MixtureGaussianHMMLayer
 
