@@ -62,8 +62,10 @@ def wait_for_device() -> bool:
         except subprocess.TimeoutExpired:
             pass
         if first:
-            print("device not responding; waiting for recovery...",
-                  file=sys.stderr)
+            print(
+                "device not responding; waiting for recovery...",
+                file=sys.stderr, flush=True,
+            )
             first = False
         time.sleep(PROBE_INTERVAL_SEC)
     return False
