@@ -96,10 +96,10 @@ def main():
         # Tiny summary: forces full execution, costs ~nothing to fetch.
         return jnp.sum(scores) + jnp.sum(states[:, -1])
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def decode_chain(state, obs, n):
+        # Runtime trip count: ONE compiled program serves both chain
+        # lengths (halves remote-compile load on the flaky tunnel).
         def body(i, acc):
             return acc + decode_once(state, obs + 0.0 * acc)
         return jax.lax.fori_loop(0, n, body, 0.0)
@@ -108,11 +108,12 @@ def main():
     obs = jax.random.normal(key, (BATCH, T, DIM), jnp.float32)
 
     def timed(n):
-        np.asarray(decode_chain(state, obs, n=n))  # compile + warm
+        n = jnp.int32(n)
+        np.asarray(decode_chain(state, obs, n))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(decode_chain(state, obs, n=n))
+            np.asarray(decode_chain(state, obs, n))
             best = min(best, time.perf_counter() - t0)
         return best
 
