@@ -495,6 +495,10 @@ class CTCSegmentationAligner(CTCAligner):
         segments = []
         prev = 0
         for boundary in bounds:
+            # Sub-minimum spans are MERGED into the next segment (prev only
+            # advances on emission), so every frame lands in exactly one
+            # segment and the proportional transcript split stays a
+            # partition; a short trailing span attaches to the last segment.
             if boundary - prev >= self.min_segment_length:
                 seg_lp = log_probs[prev:boundary]
                 lo = int(round(prev * U / T))
@@ -503,6 +507,17 @@ class CTCSegmentationAligner(CTCAligner):
                     (seg_lp, full_transcript[lo:hi], prev, boundary)
                 )
                 prev = boundary
+        if prev < T:
+            # Trailing frames shorter than min_segment_length: extend the
+            # final segment rather than dropping audio/transcript.
+            if segments:
+                seg_lp, _, start, _ = segments[-1]
+                lo = int(round(start * U / T))
+                segments[-1] = (
+                    log_probs[start:T], full_transcript[lo:U], start, T
+                )
+            else:
+                segments.append((log_probs[0:T], full_transcript[0:U], 0, T))
         return segments
 
     def _detect_segment_boundaries(

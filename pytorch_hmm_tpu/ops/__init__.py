@@ -1,22 +1,26 @@
 """Pallas TPU kernels for the hot HMM ops.
 
 ``scan`` holds the streamed time-scan kernels (forward/backward/Viterbi).
+``fused`` holds the fused GMM-emission + trellis decode kernel.
 ``pallas_log_likelihood`` adds a custom-VJP wrapper so the Pallas forward
 kernel is a drop-in, differentiable replacement for
 ``core.log_likelihood`` in training losses.
 
-Dispatch guidance: the Pallas kernels require K ≤ 128 and pay off most
-on TPU for long sequences (the XLA scan costs ~2.3 µs per step in loop
-overhead; the Pallas kernels stream frames through VMEM at
-O(100 ns)/step). ``auto_forward``/``auto_viterbi`` pick the right path.
+Dispatch guidance: the Pallas kernels pay off on TPU for any non-trivial
+sequence length (the XLA scan costs ~0.7 µs per step in loop overhead;
+the Pallas kernels stream frames through VMEM with fully unrolled frame
+loops at ~0.16-0.3 µs/step). ``auto_forward``/``auto_viterbi`` pick the
+right path; set ``PYTORCH_HMM_TPU_NO_PALLAS=1`` to force the XLA scans.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import core
 from .scan import (
@@ -37,10 +41,20 @@ __all__ = [
     "pallas_available",
 ]
 
+# Beyond this the (Kp, Kp) transition tile and double buffers no longer
+# fit VMEM comfortably; the XLA scan handles the tail case.
+_MAX_K = 1024
+
+_PALLAS_OPT_OUT = os.environ.get("PYTORCH_HMM_TPU_NO_PALLAS") == "1"
+
 
 def pallas_available(num_states: int) -> bool:
-    """True when the Pallas path applies: on-TPU and K fits one lane tile."""
-    return jax.default_backend() == "tpu" and num_states <= LANES
+    """True when the Pallas path applies on this backend."""
+    return (
+        not _PALLAS_OPT_OUT
+        and jax.default_backend() == "tpu"
+        and num_states <= _MAX_K
+    )
 
 
 @jax.custom_vjp
@@ -79,40 +93,77 @@ def _ll_bwd(res, g):
 pallas_log_likelihood.defvjp(_ll_fwd, _ll_bwd)
 
 
-def auto_forward(log_obs, log_a, log_pi):
+@jax.custom_vjp
+def _pallas_ll_masked(log_obs, log_a, log_pi, lengths):
+    _, lz = pallas_forward(log_obs, log_a, log_pi, lengths)
+    return lz
+
+
+def _llm_fwd(log_obs, log_a, log_pi, lengths):
+    log_alpha, lz = pallas_forward(log_obs, log_a, log_pi, lengths)
+    return lz, (log_obs, log_a, log_pi, lengths, log_alpha, lz)
+
+
+def _llm_bwd(res, g):
+    log_obs, log_a, log_pi, lengths, log_alpha, lz = res
+    B, T, K = log_obs.shape
+    log_beta = pallas_backward(log_obs, log_a, lengths)
+    log_gamma = log_alpha + log_beta - lz[:, None, None]
+    gamma = jnp.exp(log_gamma)
+    # Frames past each row's end carry frozen (garbage) posteriors — they
+    # contribute nothing to log Z, so their gradients are zero.
+    valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+    gamma = jnp.where(valid, gamma, 0.0)
+    gw = g[:, None, None] * gamma
+    d_log_obs = gw
+    d_log_pi = jnp.sum(g[:, None] * jnp.exp(log_gamma[:, 0]), axis=0)
+    # Pairwise posteriors, masked to transitions that land inside the
+    # valid range (t+1 < length).
+    la = log_a[None, None]
+    lxi = (
+        log_alpha[:, :-1, :, None]
+        + la
+        + (log_obs + log_beta)[:, 1:, None, :]
+        - lz[:, None, None, None]
+    )
+    tmask = (jnp.arange(1, T)[None, :] < lengths[:, None])[..., None, None]
+    xi = jnp.where(tmask, jnp.exp(lxi), 0.0)
+    d_log_a = jnp.sum(g[:, None, None] * jnp.sum(xi, axis=1), axis=0)
+    d_lengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return d_log_obs, d_log_a, d_log_pi, d_lengths
+
+
+_pallas_ll_masked.defvjp(_llm_fwd, _llm_bwd)
+
+
+def auto_forward(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
     """``(log_alpha, log_z)`` via Pallas on TPU (static K), XLA scan
     elsewhere."""
     if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
-        return pallas_forward(log_obs, log_a, log_pi)
-    return core.forward_log(log_obs, log_a, log_pi)
+        return pallas_forward(log_obs, log_a, log_pi, lengths)
+    return core.forward_log(log_obs, log_a, log_pi, lengths)
 
 
-# The two-kernel Viterbi is hardware-validated (exact paths on v5e) but
-# measured SLOWER than the unrolled XLA scan (the trellis is latency-
-# chain-bound either way, and the XLA path avoids the backtrace's second
-# sweep) — so decode defaults to the XLA scan; set
-# PYTORCH_HMM_TPU_PALLAS_VITERBI=1 to force the Pallas path.
-_VITERBI_OPT_IN = os.environ.get("PYTORCH_HMM_TPU_PALLAS_VITERBI") == "1"
+def auto_viterbi(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
+    """``(states, score)`` — Pallas two-kernel decode on TPU (fully
+    unrolled trellis + backtrace, measured ~2x the XLA scan at the
+    flagship config), XLA scan elsewhere. Paths are identical, including
+    tie-breaks (both break toward the lowest state index)."""
+    if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
+        return pallas_viterbi(log_obs, log_a, log_pi, lengths)
+    return core.viterbi(log_obs, log_a, log_pi, lengths)
 
 
-def auto_viterbi(log_obs, log_a, log_pi):
-    """``(states, score)`` — unrolled XLA scan (fastest measured), Pallas
-    on opt-in."""
-    if (
-        _VITERBI_OPT_IN
-        and pallas_available(log_obs.shape[-1])
-        and log_a.ndim == 2
-    ):
-        return pallas_viterbi(log_obs, log_a, log_pi)
-    return core.viterbi(log_obs, log_a, log_pi)
-
-
-def auto_log_likelihood(log_obs, log_a, log_pi):
+def auto_log_likelihood(
+    log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None
+):
     """Differentiable ``log Z (B,)`` via the Pallas forward kernel on TPU
-    (hardware-validated; ~1.5-3x the XLA scan at long T). Tile sizes are
-    auto-picked inside the kernels (one grid program when the batch fills
-    32 sublane rows; t_chunk=128 — t_chunk=64 wedged the chip's DMA
+    (hardware-validated; ~4x the XLA scan at the flagship config). Tile
+    sizes are auto-picked inside the kernels (one grid program when the
+    batch fills the tile; t_chunk=128 — t_chunk=64 wedged the chip's DMA
     engine in hardware testing and is avoided everywhere)."""
     if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
-        return pallas_log_likelihood(log_obs, log_a, log_pi)
-    return core.log_likelihood(log_obs, log_a, log_pi)
+        if lengths is None:
+            return pallas_log_likelihood(log_obs, log_a, log_pi)
+        return _pallas_ll_masked(log_obs, log_a, log_pi, lengths)
+    return core.log_likelihood(log_obs, log_a, log_pi, lengths)

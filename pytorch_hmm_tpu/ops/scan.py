@@ -1,13 +1,15 @@
 """Pallas TPU kernels for the HMM time scans.
 
-Why: the XLA ``lax.scan`` path costs ~2.3 µs per time step on TPU (loop
-dispatch overhead; measured on-chip — see ``ops/README`` note in the
-module docstring history). The DP step itself is tiny (a ``(B, K)``
-logsumexp-matvec), so the loop overhead dominates by ~20×. These kernels
-run the whole T loop **inside one Pallas program**: observation frames
-stream HBM→VMEM in double-buffered chunks, the ``(B_tile, K)`` state
-vector lives in VMEM, and the per-frame contraction runs on the MXU via
-the scaling identity::
+Why: the XLA ``lax.scan`` path costs ~0.7 µs per time step on TPU (loop
+dispatch overhead; measured on-chip v5e). The DP step itself is tiny (a
+``(B, K)`` logsumexp-matvec), so the loop overhead dominates. These
+kernels run the whole T loop **inside one Pallas program**: observation
+frames stream HBM→VMEM in double-buffered chunks, the ``(B_tile, K)``
+state vector lives in VMEM, and the frame loop is **fully unrolled** per
+chunk (Mosaic supports full-unroll ``fori_loop`` only), which removes the
+per-iteration loop latency — measured 2.4× on the max-product trellis.
+
+Forward/backward use the MXU via the scaling identity::
 
     logsumexp_i(alpha_i + log_a[i, j])
       = c + log( (exp(alpha - c) @ exp(log_a))[j] ),   c = max_i alpha_i
@@ -17,12 +19,24 @@ once per kernel launch; the per-frame work is one exp, one
 ``(B_tile, K) @ (K, K)`` matmul (MXU), one log — the same float32
 precision envelope as a max-shifted logsumexp.
 
-Layout: K is padded to the 128-lane width, batch is tiled to the f32
-sublane count (8). Grid is over batch tiles only — time must stay
+The Viterbi trellis has no MXU form (max-plus is not a matmul); its
+frame body is a hand-balanced maximum tree over predecessor sublanes with
+the transition add fused into the first level (measured 1.5× over
+Mosaic's default axis-reduce lowering at K=12).
+
+Layout: K is padded to a multiple of the 128-lane width (K > 128 tiles
+across lane registers — no state-count cap), batch is tiled to fit the
+double buffers in VMEM. Grid is over batch tiles only — time must stay
 sequential inside the kernel; batch tiles are embarrassingly parallel.
 
+Ragged batches: every kernel takes an optional per-sequence ``lengths``
+vector and freezes each row's carry at its true end, matching
+``core.fb``/``core.viterbi`` padding semantics bit-for-bit (alpha frozen
+past the end, beta zero from ``length-1`` on, Viterbi states repeating
+the final valid state).
+
 All kernels run in ``interpret`` mode off-TPU, so the same tests cover
-CPU and TPU.
+CPU and TPU (with the frame loop left rolled to keep tracing cheap).
 
 Replaces (performance-wise) the hot loops of reference ``hmm.py:95-117``
 and ``hmm.py:162-178``; numerics match ``core.fb``/``core.viterbi``.
@@ -43,6 +57,9 @@ __all__ = ["pallas_forward", "pallas_backward", "pallas_viterbi"]
 LANES = 128
 SUBLANES = 8
 _NEG = -1e30
+# Double-buffer VMEM budget (obs + stage, 2 slots each) used to pick the
+# batch tile. ~10 MB leaves headroom under the ~16 MB/core VMEM.
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _pad_to(x, size, axis, value):
@@ -58,8 +75,41 @@ def _ceil_to(n, m):
     return -(-n // m) * m
 
 
+def _next_pow2(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _pick_b_tile(B: int, Kp: int, t_chunk: int) -> int:
+    """Largest batch tile whose double buffers fit the VMEM budget."""
+    for bt in (32, 16, 8):
+        if 2 * 2 * bt * t_chunk * Kp * 4 <= _VMEM_BUDGET:
+            return bt
+    return 8
+
+
+def _unroll(t_chunk: int) -> int:
+    # Mosaic fori_loop supports only unroll=1 or full unroll; full unroll
+    # removes the per-frame loop latency on hardware. In interpret mode
+    # (CPU tests) keep the loop rolled so tracing stays cheap.
+    return t_chunk if not _use_interpret() else 1
+
+
+def _lengths_vec(lengths, B, T, Bp, b_tile):
+    """(Bp, 1) int32 per-row true length (T when lengths is None)."""
+    if lengths is None:
+        tt = jnp.full((B,), T, jnp.int32)
+    else:
+        tt = lengths.astype(jnp.int32)
+    # Padded batch rows get length T (their outputs are sliced away).
+    tt = _pad_to(tt[:, None], Bp, 0, T)
+    return tt
 
 
 # ---------------------------------------------------------------------------
@@ -70,11 +120,13 @@ def _forward_kernel(
     lo_hbm,      # (B, T, K) HBM — full array; batch offset from program_id
     pa_ref,      # (K, K) VMEM — exp(log_a), rows padded with 0
     lpi_ref,     # (1, K) VMEM
+    tt_ref,      # (Bt, 1) VMEM int32 — per-row true length
     alpha_out,   # (B, T, K) HBM
     *,
     t_chunk: int,
     T: int,
     b_tile: int,
+    ragged: bool,
 ):
     Bt = b_tile
     K = pa_ref.shape[1]
@@ -99,6 +151,11 @@ def _forward_kernel(
             )
 
         in_dma(0, 0).start()
+        # Without lengths the per-frame freeze is skipped entirely —
+        # T-padded frames compute garbage the caller slices away, exactly
+        # like the r1 kernel (measured: the vector compare costs real
+        # time in the unrolled frame loop).
+        t_true = tt_ref[:, :] if ragged else None  # (Bt, 1)
 
         def chunk_body(c, alpha):
             slot = c % 2
@@ -129,11 +186,18 @@ def _forward_kernel(
                 )
                 from_prev = lo_t + cmax + jnp.log(s)
                 first = lpi_ref[0, :][None, :] + lo_t
-                alpha = jnp.where(t == 0, first, from_prev)
+                new_alpha = jnp.where(t == 0, first, from_prev)
+                if ragged:
+                    # Freeze rows past their true end (matches core.fb's
+                    # masked step exactly: alpha_t = alpha_{len-1}).
+                    new_alpha = jnp.where(t >= t_true, alpha, new_alpha)
+                alpha = new_alpha
                 stage_buf[slot, :, tf, :] = alpha
                 return alpha
 
-            alpha = jax.lax.fori_loop(0, t_chunk, frame, alpha)
+            alpha = jax.lax.fori_loop(
+                0, t_chunk, frame, alpha, unroll=_unroll(t_chunk)
+            )
             out_dma(slot, c).start()
             return alpha
 
@@ -161,31 +225,31 @@ def pallas_forward(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_pi: jax.Array,
+    lengths: Optional[jax.Array] = None,
     t_chunk: int = 128,
     b_tile: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward algorithm on the Pallas scan kernel.
 
     Args/returns match ``core.forward_log``: ``(log_alpha (B, T, K),
-    log_z (B,))``. K must be ≤ 128 (one lane tile); larger K falls back
-    to the caller's responsibility.
+    log_z (B,))``. Any K (the state axis tiles across lane registers);
+    optional ``lengths (B,)`` freezes each row at its true end.
     """
     B, T, K = log_obs.shape
-    if K > LANES:
-        raise ValueError(f"pallas_forward supports K <= {LANES}, got {K}")
+    Kp = _ceil_to(K, LANES)
     if b_tile is None:
-        # One grid program when the batch fills 32 rows (grid programs run
-        # serially on the core); otherwise the minimal 8-row tile.
-        b_tile = 32 if B % 32 == 0 else SUBLANES
+        bt = _pick_b_tile(B, Kp, t_chunk)
+        # One grid program when the batch fills the tile (grid programs
+        # run serially on the core); otherwise the minimal 8-row tile.
+        b_tile = bt if B % bt == 0 else SUBLANES
 
-    Kp = LANES
     Tp = _ceil_to(T, t_chunk)
     Bp = _ceil_to(B, b_tile)
 
     lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
     # T-padding with zero-obs frames is exact for every returned value:
-    # padded frames only extend the scan past the true end, and both
-    # log_alpha and log_z are read from the true frame range below.
+    # the freeze-carry keeps padded frames at the final valid alpha, and
+    # log_z reads the (frozen) final frame.
     lo = _pad_to(lo, Tp, 1, 0.0)
     lo = _pad_to(lo, Bp, 0, 0.0)
 
@@ -193,29 +257,36 @@ def pallas_forward(
     la = _pad_to(la, Kp, 1, _NEG)
     pa = jnp.exp(la)  # padded rows/cols become 0 — absorbing nothing
     lpi = _pad_to(log_pi.astype(jnp.float32), Kp, 0, _NEG)[None, :]
+    tt = _lengths_vec(lengths, B, T, Bp, b_tile)
 
     nb = Bp // b_tile
     grid = (nb,)
     alpha_p = pl.pallas_call(
         functools.partial(
-            _forward_kernel, t_chunk=t_chunk, T=Tp, b_tile=b_tile
+            _forward_kernel, t_chunk=t_chunk, T=Tp, b_tile=b_tile,
+            ragged=lengths is not None,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
         interpret=_use_interpret(),
-    )(lo, pa, lpi)
+    )(lo, pa, lpi, tt)
 
     log_alpha = alpha_p[:B, :T, :K]
-    # lz from the true final frame (padding-exact; the kernel emits no
-    # separate likelihood — padded frames would corrupt an in-kernel one).
-    last = log_alpha[:, -1, :]
+    if lengths is None:
+        last = log_alpha[:, -1, :]
+    else:
+        # The freeze keeps rows constant past their end, so the final
+        # frame already holds each row's true final alpha.
+        last = log_alpha[:, -1, :]
     lz = jax.scipy.special.logsumexp(last, axis=-1)
     return log_alpha, lz
 
@@ -227,12 +298,14 @@ def pallas_forward(
 def _backward_kernel(
     lo_hbm,      # (B, Tp, K) HBM
     pa_t_ref,    # (K, K) VMEM — exp(log_a) TRANSPOSED
+    tt_ref,      # (Bt, 1) VMEM int32 — per-row true length
     beta_out,    # (B, Tp, K) HBM
     *,
     t_chunk: int,
     t_total: int,
-    t_true: int,
+    t_true_static: int,
     b_tile: int,
+    ragged: bool,
 ):
     Bt = b_tile
     K = pa_t_ref.shape[1]
@@ -259,6 +332,7 @@ def _backward_kernel(
         # Chunks processed in reverse order: chunk index r goes 0..n-1
         # over actual chunk (n_chunks - 1 - r).
         in_dma(0, n_chunks - 1).start()
+        t_true = tt_ref[:, :] if ragged else t_true_static
 
         def chunk_body(r, carry):
             beta, lo_next = carry
@@ -291,15 +365,20 @@ def _backward_kernel(
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 prev = cmax + jnp.log(s)
-                # Anchor beta = 0 at the TRUE final frame; padded frames
-                # beyond it produce garbage that the caller slices away.
+                # Zero beta from each row's TRUE final frame on (matches
+                # core.fb: beta_t = 0 for t >= length-1); padded frames
+                # beyond it produce zeros that the caller slices away.
+                # Scalar compare when not ragged (cheap select).
                 beta_t = jnp.where(
-                    t == t_true - 1, jnp.zeros_like(prev), prev
+                    t >= t_true - 1, jnp.zeros_like(prev), prev
                 )
                 stage_buf[slot, :, tf, :] = beta_t
                 return beta_t, lo_t
 
-            carry = jax.lax.fori_loop(0, t_chunk, frame, (beta, lo_next))
+            carry = jax.lax.fori_loop(
+                0, t_chunk, frame, (beta, lo_next),
+                unroll=_unroll(t_chunk),
+            )
             out_dma(slot, c).start()
             return carry
 
@@ -326,24 +405,23 @@ def _backward_kernel(
 def pallas_backward(
     log_obs: jax.Array,
     log_a: jax.Array,
+    lengths: Optional[jax.Array] = None,
     t_chunk: int = 128,
     b_tile: Optional[int] = None,
 ) -> jax.Array:
     """Backward algorithm: ``log_beta (B, T, K)`` (cf. ``core.backward_log``).
 
-    T-padding is exact: the kernel anchors ``beta = 0`` at the *true*
-    final frame (``t_true - 1``); padded frames past it are computed
-    first in the reverse sweep, produce garbage, and are sliced away —
-    they cannot influence earlier frames because the anchor resets the
-    carry.
+    T-padding is exact: the kernel zeroes ``beta`` from each row's *true*
+    final frame (``length - 1``) on; padded frames past it are computed
+    first in the reverse sweep, produce zeros, and cannot influence
+    earlier frames because the anchor resets the carry.
     """
     B, T, K = log_obs.shape
-    if K > LANES:
-        raise ValueError(f"pallas_backward supports K <= {LANES}, got {K}")
+    Kp = _ceil_to(K, LANES)
     if b_tile is None:
-        b_tile = 32 if B % 32 == 0 else SUBLANES
+        bt = _pick_b_tile(B, Kp, t_chunk)
+        b_tile = bt if B % bt == 0 else SUBLANES
 
-    Kp = LANES
     Tp = _ceil_to(T, t_chunk)
     Bp = _ceil_to(B, b_tile)
 
@@ -354,23 +432,26 @@ def pallas_backward(
     la = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
     la = _pad_to(la, Kp, 1, _NEG)
     pa_t = jnp.exp(la).T
+    tt = _lengths_vec(lengths, B, T, Bp, b_tile)
 
     nb = Bp // b_tile
     beta_p = pl.pallas_call(
         functools.partial(
-            _backward_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
-            b_tile=b_tile,
+            _backward_kernel, t_chunk=t_chunk, t_total=Tp, t_true_static=T,
+            b_tile=b_tile, ragged=lengths is not None,
         ),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
         interpret=_use_interpret(),
-    )(lo, pa_t)
+    )(lo, pa_t, tt)
     return beta_p[:B, :T, :K]
 
 
@@ -382,19 +463,23 @@ def _vit_trellis_kernel(
     lo_hbm,      # (B, Tp, K) HBM
     la_ref,      # (Ks, K) VMEM log transitions (sublane-packed rows)
     lpi_ref,     # (1, K) VMEM
+    tt_ref,      # (Bt, 1) VMEM int32 — per-row true length
     delta_out,   # (B, Tp, K) HBM — per-frame trellis values
     dfin_ref,    # (Bt, K) VMEM — final delta
     *,
     t_chunk: int,
     t_total: int,
-    t_true: int,
+    t_true_static: int,
     k_sub: int,
+    ragged: bool,
 ):
     """Phase 1: max-product trellis, streaming delta frames to HBM.
 
     Identical DMA protocol to ``_forward_kernel`` (proven on hardware);
-    only the per-frame compute differs (broadcast-add + max over the
-    ``k_sub`` packed predecessor sublanes, no argmax in the hot loop).
+    the per-frame compute is a balanced maximum tree over the ``k_sub``
+    packed predecessor sublanes with the transition add fused into the
+    first level (no argmax in the hot loop — the backtrace kernel
+    recomputes predecessors from delta).
     """
     Bt = dfin_ref.shape[0]
     K = la_ref.shape[1]
@@ -419,6 +504,7 @@ def _vit_trellis_kernel(
             )
 
         in_dma(0, 0).start()
+        t_true = tt_ref[:, :] if ragged else t_true_static
 
         def chunk_body(c, delta):
             slot = c % 2
@@ -437,15 +523,31 @@ def _vit_trellis_kernel(
                 lo_t = obs_buf[slot, :, tf, :]
                 t = c * t_chunk + tf
                 d_sub = jax.lax.slice_in_dim(delta, 0, k_sub, axis=1)
-                scores = d_sub[:, :, None] + la_ref[:, :][None]
-                best = jnp.max(scores, axis=1) + lo_t
+                # Balanced max tree with the transition add fused into
+                # the first level; k_sub is a power of two.
+                la = la_ref[:, :]
+                half = k_sub // 2
+                d_lo = d_sub[:, :half]
+                d_hi = d_sub[:, half:]
+                s = jnp.maximum(
+                    d_lo[:, :, None] + la[:half][None],
+                    d_hi[:, :, None] + la[half:][None],
+                )
+                w = half
+                while w > 1:
+                    half = w // 2
+                    s = jnp.maximum(s[:, :half], s[:, half:w])
+                    w = half
+                best = s[:, 0] + lo_t
                 first = lpi_ref[0, :][None, :] + lo_t
                 new_delta = jnp.where(t == 0, first, best)
                 delta = jnp.where(t >= t_true, delta, new_delta)
                 stage_buf[slot, :, tf, :] = delta
                 return delta
 
-            delta = jax.lax.fori_loop(0, t_chunk, frame, delta)
+            delta = jax.lax.fori_loop(
+                0, t_chunk, frame, delta, unroll=_unroll(t_chunk)
+            )
             out_dma(slot, c).start()
             return delta
 
@@ -472,18 +574,23 @@ def _vit_backtrace_kernel(
     delta_hbm,   # (B, Tp, K) HBM — trellis values from the first kernel
     la_t_ref,    # (K, K) VMEM log transitions TRANSPOSED
     dfin_ref,    # (Bt, K) VMEM — final delta
+    tt_ref,      # (Bt, 1) VMEM int32 — per-row true length
     states_out,  # (B, Tp, K) HBM one-hot states (f32)
     score_ref,   # (Bt, 1) VMEM
     *,
     t_chunk: int,
     t_total: int,
-    t_true: int,
+    t_true_static: int,
+    ragged: bool,
 ):
     """Phase 2: boundary-deferred backtrace over delta chunks in reverse.
 
     Runs as a separate ``pallas_call`` so this kernel only ever *reads*
     ``delta_hbm`` (same-kernel DMA write-then-read-back of an output
     buffer hangs on real hardware even though interpret mode allows it).
+
+    Score ties break toward the LOWEST state index, matching
+    ``jnp.argmax`` semantics in ``core.viterbi`` exactly.
     """
     Bt = dfin_ref.shape[0]
     K = la_t_ref.shape[1]
@@ -512,6 +619,12 @@ def _vit_backtrace_kernel(
                 st_sems.at[slot],
             )
 
+        def argmax_low(scores, best):
+            # Lowest-index argmax over lanes (ties -> smallest state).
+            return jnp.min(
+                jnp.where(scores == best, lane_iota, float(K)), axis=-1
+            )
+
         def pred_step(state, d_prev):
             onehot = (lane_iota == state[:, None]).astype(jnp.float32)
             col = jnp.dot(
@@ -521,16 +634,13 @@ def _vit_backtrace_kernel(
             )
             scores = d_prev + col
             best = jnp.max(scores, axis=-1, keepdims=True)
-            return jnp.max(
-                jnp.where(scores == best, lane_iota, -1.0), axis=-1
-            )
+            return argmax_low(scores, best)
 
+        t_true = tt_ref[:, :] if ragged else None
         delta = dfin_ref[:, :]
         best_final = jnp.max(delta, axis=-1, keepdims=True)
         score_ref[:, 0] = best_final[:, 0]
-        last_state = jnp.max(
-            jnp.where(delta == best_final, lane_iota, -1.0), axis=-1
-        )
+        last_state = argmax_low(delta, best_final)
 
         delta_in_dma(0, n_chunks - 1).start()
 
@@ -551,7 +661,11 @@ def _vit_backtrace_kernel(
             # Deferred boundary: transition into frame (c+1)*t_chunk.
             t_b = (c + 1) * t_chunk
             pred_b = pred_step(state, dback_buf[slot, :, t_chunk - 1, :])
-            state = jnp.where((r > 0) & (t_b < t_true), pred_b, state)
+            if ragged:
+                move_b = (r > 0) & (t_b < t_true[:, 0])
+            else:
+                move_b = (r > 0) & (t_b < t_true_static)
+            state = jnp.where(move_b, pred_b, state)
 
             def frame(i, state):
                 tf = t_chunk - 1 - i
@@ -562,10 +676,15 @@ def _vit_backtrace_kernel(
                     slot, :, pl.ds(jnp.maximum(tf - 1, 0), 1), :
                 ][:, 0, :]
                 pred_f = pred_step(state, d_prev)
-                move = (tf > 0) & (t < t_true)
+                if ragged:
+                    move = (tf > 0) & (t < t_true[:, 0])
+                else:
+                    move = (tf > 0) & (t < t_true_static)
                 return jnp.where(move, pred_f, state)
 
-            state = jax.lax.fori_loop(0, t_chunk, frame, state)
+            state = jax.lax.fori_loop(
+                0, t_chunk, frame, state, unroll=_unroll(t_chunk)
+            )
             st_out_dma(slot, c).start()
             return state
 
@@ -591,6 +710,7 @@ def pallas_viterbi(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_pi: jax.Array,
+    lengths: Optional[jax.Array] = None,
     t_chunk: int = 128,
     b_tile: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -598,16 +718,17 @@ def pallas_viterbi(
 
     Two Pallas kernels: a streamed max-product trellis writing per-frame
     delta vectors, then a boundary-deferred backtrace reading them in
-    reverse. T-padding is exact (padded frames freeze the trellis).
+    reverse. T-padding is exact (padded frames freeze the trellis, and
+    the decoded path repeats each row's final valid state — the
+    ``core.viterbi`` lengths convention).
     """
     B, T, K = log_obs.shape
-    if K > LANES:
-        raise ValueError(f"pallas_viterbi supports K <= {LANES}, got {K}")
+    Kp = _ceil_to(K, LANES)
     if b_tile is None:
-        b_tile = 32 if B % 32 == 0 else SUBLANES
+        bt = _pick_b_tile(B, Kp, t_chunk)
+        b_tile = bt if B % bt == 0 else SUBLANES
 
-    Kp = LANES
-    k_sub = _ceil_to(K, SUBLANES)
+    k_sub = _next_pow2(max(_ceil_to(K, SUBLANES), SUBLANES))
     Tp = _ceil_to(T, t_chunk)
     Bp = _ceil_to(B, b_tile)
 
@@ -617,25 +738,28 @@ def pallas_viterbi(
 
     la_full = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
     la_full = _pad_to(la_full, Kp, 1, _NEG)
-    la_rows = la_full[:k_sub]                       # (k_sub, Kp)
-    la_t = la_full.T                                # (Kp, Kp)
+    la_rows = _pad_to(la_full, k_sub, 0, _NEG)[:k_sub]   # (k_sub, Kp)
+    la_t = la_full.T                                     # (Kp, Kp)
     lpi = _pad_to(log_pi.astype(jnp.float32), Kp, 0, _NEG)[None, :]
+    tt = _lengths_vec(lengths, B, T, Bp, b_tile)
 
     nb = Bp // b_tile
     delta_hbm, dfin = pl.pallas_call(
         functools.partial(
-            _vit_trellis_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
-            k_sub=k_sub,
+            _vit_trellis_kernel, t_chunk=t_chunk, t_total=Tp,
+            t_true_static=T, k_sub=k_sub, ragged=lengths is not None,
         ),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((k_sub, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((b_tile, Kp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -644,22 +768,25 @@ def pallas_viterbi(
             jax.ShapeDtypeStruct((Bp, Kp), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(lo, la_rows, lpi)
+    )(lo, la_rows, lpi, tt)
 
     onehot_states, score_p = pl.pallas_call(
         functools.partial(
-            _vit_backtrace_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T
+            _vit_backtrace_kernel, t_chunk=t_chunk, t_total=Tp,
+            t_true_static=T, ragged=lengths is not None,
         ),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, Kp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -668,7 +795,7 @@ def pallas_viterbi(
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(delta_hbm, la_t, dfin)
+    )(delta_hbm, la_t, dfin, tt)
 
     states = jnp.argmax(onehot_states[:B, :T, :K], axis=-1).astype(jnp.int32)
     return states, score_p[:B, 0]

@@ -463,6 +463,10 @@ def _beam_step(log_a, log_obs, n_valid, carry):
     S = log_a.shape[0]
     scores, last_states, paths, path_len = carry
     W, H = paths.shape
+    # Carried scores are renormalized (max-subtracted) at the end of each
+    # chunk, so they never drift toward -inf on long streams; confidence
+    # comes from the per-span score delta, not the unbounded joint.
+    score_before = jnp.max(scores)
 
     def step(c, xs):
         sc, ls, pt, pl, t = c
@@ -500,10 +504,18 @@ def _beam_step(log_a, log_obs, n_valid, carry):
     tail = paths[best]  # (H,)
     idx = H - n_valid + jnp.arange(T_pad)
     states = tail[jnp.clip(idx, 0, H - 1)]
+    # Per-span confidence: geometric-mean probability of the frames decoded
+    # in THIS chunk (score delta / n_valid), so long streams don't decay it.
+    # On the first chunk score_before is the uniform prior, already part of
+    # the span's joint, so the delta is the whole path score as desired.
+    span = scores[best] - score_before
     conf = jnp.full(
         (T_pad,),
-        jnp.exp(scores[best] / jnp.maximum(path_len, 1).astype(jnp.float32)),
+        jnp.exp(span / jnp.maximum(n_valid, 1).astype(jnp.float32)),
     )
+    # Renormalize the carried scores so they stay bounded across chunks;
+    # only score differences matter to future top-k/argmax decisions.
+    scores = scores - jnp.max(scores)
     return (scores, last_states, paths, path_len), states, conf
 
 

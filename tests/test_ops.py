@@ -15,9 +15,13 @@ from pytorch_hmm_tpu.ops import (
     pallas_log_likelihood,
     pallas_viterbi,
 )
+from pytorch_hmm_tpu.ops import _pallas_ll_masked
 
 
-@pytest.fixture(scope="module", params=[(5, 300, 11), (20, 257, 64), (3, 64, 5)])
+@pytest.fixture(
+    scope="module",
+    params=[(5, 300, 11), (20, 257, 64), (3, 64, 5), (2, 48, 256)],
+)
 def problem(request):
     B, T, K = request.param
     rng = np.random.default_rng(B * T)
@@ -25,6 +29,17 @@ def problem(request):
     la = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
     lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
     return lo, la, lp
+
+
+@pytest.fixture(scope="module")
+def ragged_problem():
+    B, T, K = 5, 90, 9
+    rng = np.random.default_rng(7)
+    lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+    lengths = jnp.asarray([90, 31, 64, 1, 77], jnp.int32)
+    return lo, la, lp, lengths
 
 
 def test_pallas_forward_matches_core(problem):
@@ -75,9 +90,136 @@ def test_auto_dispatch_runs(problem):
     assert a.shape == lo.shape and s.shape == lo.shape[:2]
 
 
-def test_pallas_rejects_large_k():
-    lo = jnp.zeros((1, 8, 200))
-    la = jnp.zeros((200, 200))
-    lp = jnp.zeros((200,))
-    with pytest.raises(ValueError, match="K <= 128"):
-        pallas_forward(lo, la, lp)
+def test_pallas_large_k_supported():
+    """K > 128 tiles across lane registers (VERDICT r1 weak #5)."""
+    B, T, K = 2, 40, 200
+    rng = np.random.default_rng(3)
+    lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+    a_p, lz_p = pallas_forward(lo, la, lp, t_chunk=64)
+    a0, lz0 = core.forward_log(lo, la, lp)
+    np.testing.assert_allclose(a_p, a0, atol=5e-4)
+    np.testing.assert_allclose(lz_p, lz0, atol=5e-4)
+    s_p, sc_p = pallas_viterbi(lo, la, lp, t_chunk=64)
+    s0, sc0 = core.viterbi(lo, la, lp)
+    assert bool(jnp.all(s_p == s0))
+
+
+# ---------------------------------------------------------------------------
+# Ragged batches: padded results must equal per-sequence unpadded results
+# on every Pallas path (VERDICT r1 next-round #3).
+# ---------------------------------------------------------------------------
+
+def test_pallas_forward_lengths(ragged_problem):
+    lo, la, lp, lengths = ragged_problem
+    a_p, lz_p = pallas_forward(lo, la, lp, lengths, t_chunk=32)
+    a0, lz0 = core.forward_log(lo, la, lp, lengths)
+    np.testing.assert_allclose(a_p, a0, atol=5e-4)
+    np.testing.assert_allclose(lz_p, lz0, atol=5e-4)
+    # Cross-check each row against its unpadded solo decode.
+    for b, n in enumerate(np.asarray(lengths)):
+        _, lz_solo = core.forward_log(lo[b:b + 1, :n], la, lp)
+        np.testing.assert_allclose(lz_p[b], lz_solo[0], atol=5e-4)
+
+
+def test_pallas_backward_lengths(ragged_problem):
+    lo, la, lp, lengths = ragged_problem
+    b_p = pallas_backward(lo, la, lengths, t_chunk=32)
+    b0 = core.backward_log(lo, la, lengths)
+    np.testing.assert_allclose(b_p, b0, atol=5e-4)
+    for b, n in enumerate(np.asarray(lengths)):
+        b_solo = core.backward_log(lo[b:b + 1, :n], la)
+        np.testing.assert_allclose(b_p[b, :n], b_solo[0], atol=5e-4)
+
+
+def test_pallas_viterbi_lengths(ragged_problem):
+    lo, la, lp, lengths = ragged_problem
+    s_p, sc_p = pallas_viterbi(lo, la, lp, lengths, t_chunk=32)
+    s0, sc0 = core.viterbi(lo, la, lp, lengths)
+    assert bool(jnp.all(s_p == s0)), "padded pallas path differs from core"
+    np.testing.assert_allclose(sc_p, sc0, atol=5e-4)
+    for b, n in enumerate(np.asarray(lengths)):
+        s_solo, sc_solo = core.viterbi(lo[b:b + 1, :n], la, lp)
+        assert bool(jnp.all(s_p[b, :n] == s_solo[0]))
+        np.testing.assert_allclose(sc_p[b], sc_solo[0], atol=5e-4)
+
+
+def test_pallas_ll_masked_grads(ragged_problem):
+    lo, la, lp, lengths = ragged_problem
+    val_p, grads_p = jax.value_and_grad(
+        lambda *a: jnp.sum(_pallas_ll_masked(*a, lengths)), argnums=(0, 1, 2)
+    )(lo, la, lp)
+    val_0, grads_0 = jax.value_and_grad(
+        lambda *a: jnp.sum(core.log_likelihood(*a, lengths)), argnums=(0, 1, 2)
+    )(lo, la, lp)
+    np.testing.assert_allclose(val_p, val_0, atol=1e-3)
+    for gp, g0 in zip(grads_p, grads_0):
+        np.testing.assert_allclose(gp, g0, atol=1e-3)
+
+
+def test_pallas_viterbi_tie_break_matches_core():
+    """Equal-scoring paths must pick the same (lowest-index) states as
+    ``core.viterbi`` (advisor r1 finding #3)."""
+    K = 6
+    lo = jnp.zeros((2, 30, K), jnp.float32)         # all ties
+    la = jnp.full((K, K), -jnp.log(float(K)))       # uniform
+    lp = jnp.full((K,), -jnp.log(float(K)))
+    s_p, sc_p = pallas_viterbi(lo, la, lp, t_chunk=32)
+    s0, sc0 = core.viterbi(lo, la, lp)
+    assert bool(jnp.all(s_p == s0))
+    np.testing.assert_allclose(sc_p, sc0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused GMM-emission + Viterbi-trellis kernel (VERDICT r1 next-round #1).
+# ---------------------------------------------------------------------------
+
+from pytorch_hmm_tpu.emissions import gmm_log_probs
+from pytorch_hmm_tpu.ops.fused import fused_gmm_supported, fused_gmm_viterbi
+
+
+def _gmm_problem(B, T, S, C, D, seed=1):
+    rng = np.random.default_rng(seed)
+    means = jnp.asarray(rng.normal(size=(S, C, D)), jnp.float32)
+    log_vars = jnp.asarray(0.1 * rng.normal(size=(S, C, D)), jnp.float32)
+    log_w = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(C), size=S)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(S), size=S)), jnp.float32)
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(S))), jnp.float32)
+    return feats, means, log_vars, log_w, la, lp
+
+
+@pytest.mark.parametrize("shape", [(4, 256, 12, 4, 80), (3, 130, 5, 3, 13)])
+def test_fused_gmm_viterbi_matches_unfused(shape):
+    B, T, S, C, D = shape
+    feats, means, log_vars, log_w, la, lp = _gmm_problem(B, T, S, C, D)
+    assert fused_gmm_supported(S, C, "diag")
+    st_f, sc_f = fused_gmm_viterbi(feats, means, log_vars, log_w, la, lp)
+    lo = gmm_log_probs(feats, means, log_vars, log_w, "diag")
+    st_u, sc_u = core.viterbi(lo, la, lp)
+    assert bool(jnp.all(st_f == st_u))
+    np.testing.assert_allclose(sc_f, sc_u, rtol=1e-4, atol=5e-3)
+
+
+def test_fused_gmm_viterbi_lengths():
+    B, T, S, C, D = 5, 200, 8, 2, 40
+    feats, means, log_vars, log_w, la, lp = _gmm_problem(B, T, S, C, D, 9)
+    lengths = jnp.asarray([200, 31, 130, 1, 64], jnp.int32)
+    st_f, sc_f = fused_gmm_viterbi(
+        feats, means, log_vars, log_w, la, lp, lengths)
+    lo = gmm_log_probs(feats, means, log_vars, log_w, "diag")
+    st_u, sc_u = core.viterbi(lo, la, lp, lengths)
+    assert bool(jnp.all(st_f == st_u))
+    np.testing.assert_allclose(sc_f, sc_u, rtol=1e-4, atol=5e-3)
+    for b, n in enumerate(np.asarray(lengths)):
+        st_solo, sc_solo = core.viterbi(lo[b:b + 1, :n], la, lp)
+        assert bool(jnp.all(st_f[b, :n] == st_solo[0]))
+
+
+def test_fused_gmm_supported_bounds():
+    assert fused_gmm_supported(12, 4, "diag")
+    assert not fused_gmm_supported(12, 4, "full")
+    assert not fused_gmm_supported(128, 2, "diag")   # C*ceil8(S) > 128
+    assert fused_gmm_supported(128, 1, "diag")
