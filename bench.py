@@ -1,22 +1,27 @@
-"""Headline benchmark: MixtureGaussianHMM batched decode (GMM emission
-scoring + Viterbi) at the reference's benchmark config — batch=32, T=1000,
-12 states, 4 components, 80-dim features (PERFORMANCE.md:11, BASELINE.json
-configs[1]).
+"""Driver benchmark: all five BASELINE configs on the real chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line per config (headline LAST), each:
     {"metric": ..., "value": <real-time factor>, "unit": "x_realtime",
-     "vs_baseline": <ours / reference RTX-3060 number>}
+     "vs_baseline": <ours / reference RTX-3060 number>,
+     "spread": {"min_ms": .., "p50_ms": .., "max_ms": ..}}
 
-Real-time factor = total audio seconds decoded per wall-second of device
-time, with the standard 10 ms frame hop. The reference reports 3.2 ms
-latency for this workload on an RTX 3060 (PERFORMANCE.md:11).
+Configs (BASELINE.json / VERDICT round-1 item 2):
+  1. MixtureGaussianHMM decode  B=32 T=1000 S=12 C=4 D=80  (ref 3.2 ms)
+  2. HSMM decode                B=32 T=1000 S=10 D=20      (ref 3.5 ms)
+  3. Streaming chunk step p50   chunk=160 S=12 D=80 beam   (ref 1.1 ms)
+  4. NeuralHMM forward          B=16 T=1000 S=12 H=256     (ref 5.1 ms)
+  5. Long-context forward       B=32 T=131072 K=64         (ref: cannot)
 
 Timing methodology: the remote-TPU runtime acknowledges dispatches
-asynchronously (``block_until_ready`` returns before execution — measured
-~1 ns/step otherwise, which is physically impossible for a serial scan),
-so the decode is chained ``R`` times through a data dependency inside one
+asynchronously (``block_until_ready`` returns before execution), so each
+workload is chained ``R`` times through a data dependency inside one
 jitted ``fori_loop`` and the (tiny) result is fetched once; per-call
-device time = total / R, with the host↔device round-trip amortized away.
+device time = (time(2R) - time(R)) / R, which also cancels the fixed
+host↔device round-trip. The chain program takes the trip count at
+RUNTIME so one compilation serves both chain lengths. Each config runs
+TRIALS such differences; the reported value uses the median (the spread
+field records min/p50/max so cross-round comparisons are meaningful —
+VERDICT round-1 item 10).
 """
 
 from __future__ import annotations
@@ -26,18 +31,9 @@ import subprocess
 import sys
 import time
 
-BATCH = 32
-T = 1000
-STATES = 12
-COMPONENTS = 4
-DIM = 80
 FRAME_SEC = 0.01
-REF_LATENCY_SEC = 3.2e-3  # RTX 3060, PERFORMANCE.md:11
-REPS = 20
+TRIALS = 5
 
-# The tunneled TPU worker occasionally needs recovery time after kernel
-# faults; probe it in short-lived subprocesses (an in-process hang would
-# block forever) and wait up to this long before measuring.
 PROBE_WAIT_SEC = 1500
 PROBE_INTERVAL_SEC = 60
 
@@ -79,61 +75,204 @@ def main():
     import numpy as np
     from flax import nnx
 
+    def chain(fn):
+        @jax.jit
+        def run(x, n):
+            def body(i, acc):
+                return acc + fn(x + 0.0 * acc)
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return run
+
+    def measure(fn, x, reps):
+        run = chain(fn)
+
+        def timed(n):
+            n = jnp.int32(n)
+            np.asarray(run(x, n))  # compile + warm on first call
+            t0 = time.perf_counter()
+            np.asarray(run(x, n))
+            return time.perf_counter() - t0
+
+        timed(reps)  # compile both once
+        lats = []
+        for _ in range(TRIALS):
+            lats.append(max(timed(2 * reps) - timed(reps), 1e-9) / reps)
+        lats.sort()
+        return {
+            "min": lats[0],
+            "p50": lats[len(lats) // 2],
+            "max": lats[-1],
+        }
+
+    def emit(name, lat, audio_sec, ref_latency_sec, ref_rtf_base=None):
+        rtf = audio_sec / lat["p50"]
+        if ref_rtf_base is None:
+            vs = (ref_latency_sec / lat["p50"])
+        else:
+            vs = rtf / ref_rtf_base
+        line = {
+            "metric": name,
+            "value": round(rtf, 1),
+            "unit": "x_realtime",
+            "vs_baseline": round(vs, 3),
+            "spread": {
+                "min_ms": round(lat["min"] * 1e3, 4),
+                "p50_ms": round(lat["p50"] * 1e3, 4),
+                "max_ms": round(lat["max"] * 1e3, 4),
+            },
+        }
+        print(
+            f"{name}: p50={lat['p50']*1e3:.3f}ms "
+            f"[{lat['min']*1e3:.3f}, {lat['max']*1e3:.3f}] "
+            f"vs_baseline={line['vs_baseline']}",
+            file=sys.stderr, flush=True,
+        )
+        return json.dumps(line)
+
+    lines = []
+    key = jax.random.PRNGKey(0)
+
+    # ---- 2. HSMM decode (B=32, T=1000, S=10, D=20; ref 3.5 ms) ----
+    try:
+        from pytorch_hmm_tpu.models import HSMMLayer
+
+        hsmm = HSMMLayer(
+            num_states=10, feature_dim=80, max_duration=20,
+            rngs=nnx.Rngs(0),
+        )
+        gd, st = nnx.split(hsmm)
+        obs = jax.random.normal(key, (32, 1000, 80), jnp.float32)
+
+        def hsmm_decode(o):
+            m = nnx.merge(gd, st)
+            states, score = m.viterbi_decode_hsmm(o)
+            return jnp.sum(score) + jnp.sum(states[:, -1])
+
+        lat = measure(hsmm_decode, obs, 8)
+        lines.append(emit(
+            "hsmm_decode_rtf_b32_T1000_s10_d20", lat, 32 * 1000 * FRAME_SEC,
+            3.5e-3,
+        ))
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"hsmm bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- 3. Streaming chunk step p50 (chunk=160, S=12, D=80; ref 1.1 ms) --
+    try:
+        from pytorch_hmm_tpu.streaming import (
+            StreamingHMMProcessor, _beam_step, _emit,
+        )
+
+        proc = StreamingHMMProcessor(
+            num_states=12, feature_dim=80, chunk_size=160,
+            use_beam_search=True, rngs=nnx.Rngs(0),
+        )
+        w = (
+            proc.emission_hidden.kernel[...], proc.emission_hidden.bias[...],
+            proc.emission_out.kernel[...], proc.emission_out.bias[...],
+        )
+        log_a = jnp.log(proc.get_transition_matrix() + 1e-8)
+        carry0 = (proc._beam_scores, proc._beam_states,
+                  proc._beam_paths, proc._beam_len)
+        chunk = jax.random.normal(key, (192, 80), jnp.float32)
+        n_valid = jnp.int32(160)
+
+        def stream_step(x):
+            lo = _emit(x, *w)
+            carry, states, conf = _beam_step(log_a, lo, n_valid, carry0)
+            return jnp.sum(conf) + jnp.sum(states)
+
+        lat = measure(stream_step, chunk, 16)
+        lines.append(emit(
+            "streaming_chunk_p50_s12_d80_beam", lat, 160 * FRAME_SEC,
+            1.1e-3,
+        ))
+    except Exception as e:  # pragma: no cover
+        print(f"streaming bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- 4. NeuralHMM forward (B=16, T=1000, S=12, H=256; ref 5.1 ms) ----
+    try:
+        from pytorch_hmm_tpu.models import NeuralHMM
+
+        nh = NeuralHMM(
+            num_states=12, feature_dim=80, hidden_dim=256,
+            rngs=nnx.Rngs(0),
+        )
+        gd_n, st_n = nnx.split(nh)
+        obs = jax.random.normal(key, (16, 1000, 80), jnp.float32)
+
+        def neural_fwd(o):
+            m = nnx.merge(gd_n, st_n)
+            posts, ll = m(o)
+            return jnp.sum(ll) + jnp.sum(posts[:, -1])
+
+        lat = measure(neural_fwd, obs, 6)
+        lines.append(emit(
+            "neural_hmm_forward_rtf_b16_T1000_s12_h256", lat,
+            16 * 1000 * FRAME_SEC, 5.1e-3,
+        ))
+    except Exception as e:  # pragma: no cover
+        print(f"neural bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- 5. Long-context forward (B=32, T=131072, K=64) ----
+    try:
+        from pytorch_hmm_tpu import ops
+
+        B, T, K = 32, 131072, 64
+        lo = jax.random.normal(key, (B, T, K), jnp.float32)
+        la = jax.nn.log_softmax(
+            jax.random.normal(key, (K, K), jnp.float32), axis=-1
+        )
+        lpi = jnp.full((K,), -jnp.log(float(K)))
+
+        def long_fwd(x):
+            _, lz = ops.pallas_forward(x, la, lpi)
+            return jnp.sum(lz)
+
+        lat = measure(long_fwd, lo, 2)
+        # Reference cannot enter this regime; baseline = its best implied
+        # frame rate (GMM decode: 32k frames / 3.2 ms = 10M frames/s).
+        frames_per_sec = B * T / lat["p50"]
+        lines.append(emit(
+            "long_context_forward_rtf_b32_T131072_k64", lat,
+            B * T * FRAME_SEC, None, ref_rtf_base=10e6 * FRAME_SEC,
+        ))
+        print(
+            f"long-context: {frames_per_sec/1e6:.0f}M frames/s",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"long-context bench failed: {e!r}", file=sys.stderr,
+              flush=True)
+
+    # ---- 1. HEADLINE: GMM-HMM decode (B=32 T=1000 S=12 C=4 D=80) ----
+    # Printed last so a last-line-only parser still records the headline.
     from pytorch_hmm_tpu.models import MixtureGaussianHMMLayer
 
     model = MixtureGaussianHMMLayer(
-        num_states=STATES,
-        feature_dim=DIM,
-        num_components=COMPONENTS,
-        covariance_type="diag",
-        rngs=nnx.Rngs(0),
+        num_states=12, feature_dim=80, num_components=4,
+        covariance_type="diag", rngs=nnx.Rngs(0),
     )
     graphdef, state = nnx.split(model)
+    obs = jax.random.normal(key, (32, 1000, 80), jnp.float32)
 
-    def decode_once(state, obs):
+    def decode_once(o):
         m = nnx.merge(graphdef, state)
-        states, scores = m(obs, return_log_probs=True)
-        # Tiny summary: forces full execution, costs ~nothing to fetch.
+        states, scores = m(o, return_log_probs=True)
         return jnp.sum(scores) + jnp.sum(states[:, -1])
 
-    @jax.jit
-    def decode_chain(state, obs, n):
-        # Runtime trip count: ONE compiled program serves both chain
-        # lengths (halves remote-compile load on the flaky tunnel).
-        def body(i, acc):
-            return acc + decode_once(state, obs + 0.0 * acc)
-        return jax.lax.fori_loop(0, n, body, 0.0)
+    lat = measure(decode_once, obs, 20)
+    lines.append(emit(
+        "mixture_gaussian_hmm_decode_rtf_b32_T1000_s12_c4_d80", lat,
+        32 * 1000 * FRAME_SEC, 3.2e-3,
+    ))
 
-    key = jax.random.PRNGKey(0)
-    obs = jax.random.normal(key, (BATCH, T, DIM), jnp.float32)
-
-    def timed(n):
-        n = jnp.int32(n)
-        np.asarray(decode_chain(state, obs, n))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(decode_chain(state, obs, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    latency = max(timed(2 * REPS) - timed(REPS), 1e-9) / REPS
-
-    audio_sec = BATCH * T * FRAME_SEC
-    rtf = audio_sec / latency
-    ref_rtf = audio_sec / REF_LATENCY_SEC
-    result = {
-        "metric": "mixture_gaussian_hmm_decode_rtf_b32_T1000_s12_c4_d80",
-        "value": round(rtf, 1),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / ref_rtf, 3),
-    }
     print(
-        f"device={jax.devices()[0].platform} latency={latency*1e3:.3f}ms "
-        f"reps={REPS} (chained on-device)",
-        file=sys.stderr,
+        f"device={jax.devices()[0].platform} trials={TRIALS} "
+        f"(runtime-rep chained, RTT-cancelled)",
+        file=sys.stderr, flush=True,
     )
-    print(json.dumps(result))
+    for line in lines:
+        print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@
 // Exposed through a minimal C ABI consumed from Python via ctypes
 // (pytorch_hmm_tpu/native.py). No Python.h dependency.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -73,11 +74,17 @@ struct Framer {
   int n_mels;
   float preemph;
 
-  std::vector<float> ring;     // sample ring buffer
-  size_t head = 0;             // write index
-  size_t tail = 0;             // read index (frame starts)
-  size_t filled = 0;
-  float prev_sample = 0.0f;    // pre-emphasis carry across frames
+  // Classic lock-free SPSC ring: head/tail are MONOTONIC counters
+  // (ring index = counter % capacity). The producer owns head, the
+  // consumer owns tail; each side only LOADS the other's counter, with
+  // acquire/release ordering so the sample writes are visible before
+  // the head bump (and reads complete before the tail bump). ctypes
+  // releases the GIL during foreign calls, so push from an audio thread
+  // and pop from the processing thread may genuinely race.
+  std::vector<float> ring;              // sample ring buffer
+  std::atomic<uint64_t> head{0};        // write counter (producer-owned)
+  std::atomic<uint64_t> tail{0};        // read counter (consumer-owned)
+  float prev_sample = 0.0f;   // pre-emphasis carry (consumer-owned)
 
   std::vector<float> window;          // Hann, frame_len
   std::vector<float> mel_weights;     // (n_mels, n_fft/2+1) row-major
@@ -125,37 +132,50 @@ struct Framer {
   }
 
   size_t capacity() const { return ring.size(); }
-  size_t available() const { return filled; }
-  size_t free_space() const { return capacity() - filled; }
+
+  // Consumer-side view (exact); producer-side free_space is conservative
+  // (the consumer can only make more room, never less).
+  size_t available() const {
+    return static_cast<size_t>(head.load(std::memory_order_acquire) -
+                               tail.load(std::memory_order_acquire));
+  }
 
   size_t push(const float* samples, size_t n) {
-    const size_t take = n < free_space() ? n : free_space();
+    const uint64_t h = head.load(std::memory_order_relaxed);
+    const uint64_t t = tail.load(std::memory_order_acquire);
+    const size_t free_space = capacity() - static_cast<size_t>(h - t);
+    const size_t take = n < free_space ? n : free_space;
     for (size_t i = 0; i < take; ++i) {
-      ring[head] = samples[i];
-      head = (head + 1) % capacity();
+      ring[static_cast<size_t>((h + i) % capacity())] = samples[i];
     }
-    filled += take;
+    head.store(h + take, std::memory_order_release);
     return take;
   }
 
-  bool frame_ready() const { return filled >= static_cast<size_t>(frame_len); }
+  bool frame_ready() const {
+    return available() >= static_cast<size_t>(frame_len);
+  }
 
   // Extract one log-mel frame into out[n_mels]; consumes `hop` samples.
   bool pop_frame(float* out) {
-    if (!frame_ready()) return false;
+    const uint64_t t = tail.load(std::memory_order_relaxed);
+    const uint64_t h = head.load(std::memory_order_acquire);
+    if (static_cast<size_t>(h - t) < static_cast<size_t>(frame_len)) {
+      return false;
+    }
     // Gather frame_len samples (non-destructive beyond hop).
     for (int i = 0; i < n_fft; ++i) fft_buf[i] = {0.0f, 0.0f};
     float prev = prev_sample;
     for (int i = 0; i < frame_len; ++i) {
-      const float s = ring[(tail + i) % capacity()];
+      const float s = ring[static_cast<size_t>((t + i) % capacity())];
       const float e = s - preemph * prev;
       prev = s;
       fft_buf[i] = {e * window[i], 0.0f};
     }
     // Pre-emphasis carry advances by `hop` samples.
-    prev_sample = hop >= 1
-                      ? ring[(tail + hop - 1) % capacity()]
-                      : prev_sample;
+    prev_sample =
+        hop >= 1 ? ring[static_cast<size_t>((t + hop - 1) % capacity())]
+                 : prev_sample;
     fft(fft_buf);
     const int n_bins = n_fft / 2 + 1;
     for (int m = 0; m < n_mels; ++m) {
@@ -168,8 +188,7 @@ struct Framer {
       }
       out[m] = std::log(acc);
     }
-    tail = (tail + hop) % capacity();
-    filled -= hop;
+    tail.store(t + hop, std::memory_order_release);
     return true;
   }
 };

@@ -29,7 +29,7 @@ from flax import nnx
 
 from .. import core
 from ..core.semiring import logsumexp, safe_log
-from ..ops import auto_log_likelihood, auto_viterbi
+from ..ops import auto_gmm_viterbi, auto_log_likelihood, auto_viterbi
 from ..emissions import flat_dim, gmm_component_log_probs, tril_from_flat
 from .common import Buffer, TrainMode
 
@@ -132,24 +132,46 @@ class MixtureGaussianHMMLayer(TrainMode):
 
     # -- inference ---------------------------------------------------------------
     def __call__(
-        self, observations: jax.Array, return_log_probs: bool = False
+        self,
+        observations: jax.Array,
+        return_log_probs: bool = False,
+        lengths: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Viterbi decode: ``(decoded_states (B, T), seq_log_probs (B,)|None)``
-        (``mixture_gaussian.py:340-365``)."""
-        log_obs = self.get_observation_log_probs(observations)
-        states, score = auto_viterbi(log_obs, self._log_a(), self._log_pi())
+        (``mixture_gaussian.py:340-365``). ``lengths`` masks ragged batches
+        (padded frames repeat each row's final valid state)."""
+        if self.covariance_type == "diag":
+            # Flagship fast path: single fused Pallas kernel on TPU.
+            log_w = jax.nn.log_softmax(
+                self.mixture_weights_logits[...], axis=-1
+            )
+            states, score = auto_gmm_viterbi(
+                observations, self.means[...], self.cov_params[...], log_w,
+                self._log_a(), self._log_pi(), lengths,
+            )
+        else:
+            log_obs = self.get_observation_log_probs(observations)
+            states, score = auto_viterbi(
+                log_obs, self._log_a(), self._log_pi(), lengths
+            )
         return (states, score) if return_log_probs else (states, None)
 
     forward = __call__
 
-    def log_likelihood(self, observations: jax.Array) -> jax.Array:
+    def log_likelihood(
+        self, observations: jax.Array, lengths: Optional[jax.Array] = None
+    ) -> jax.Array:
         """Marginal sequence log-likelihood ``(B,)`` via the forward pass."""
         log_obs = self.get_observation_log_probs(observations)
-        return auto_log_likelihood(log_obs, self._log_a(), self._log_pi())
+        return auto_log_likelihood(
+            log_obs, self._log_a(), self._log_pi(), lengths
+        )
 
-    def compute_loss(self, observations: jax.Array) -> jax.Array:
+    def compute_loss(
+        self, observations: jax.Array, lengths: Optional[jax.Array] = None
+    ) -> jax.Array:
         """NLL for gradient training."""
-        return -jnp.mean(self.log_likelihood(observations))
+        return -jnp.mean(self.log_likelihood(observations, lengths))
 
     # -- EM (Baum-Welch) ----------------------------------------------------------
     def em_step(

@@ -29,6 +29,8 @@ from .scan import (
     pallas_forward,
     pallas_viterbi,
 )
+from .fused import fused_gmm_supported, fused_gmm_viterbi
+from .smallk import smallk_supported, smallk_viterbi
 
 __all__ = [
     "pallas_forward",
@@ -38,6 +40,11 @@ __all__ = [
     "auto_forward",
     "auto_viterbi",
     "auto_log_likelihood",
+    "auto_gmm_viterbi",
+    "fused_gmm_viterbi",
+    "fused_gmm_supported",
+    "smallk_viterbi",
+    "smallk_supported",
     "pallas_available",
 ]
 
@@ -145,11 +152,18 @@ def auto_forward(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
 
 
 def auto_viterbi(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
-    """``(states, score)`` — Pallas two-kernel decode on TPU (fully
-    unrolled trellis + backtrace, measured ~2x the XLA scan at the
-    flagship config), XLA scan elsewhere. Paths are identical, including
-    tie-breaks (both break toward the lowest state index)."""
-    if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
+    """``(states, score)`` — Pallas decode on TPU, XLA scan elsewhere.
+
+    For K ≤ 32 (the reference's whole benchmark regime) this runs the
+    transposed-layout ``smallk_viterbi`` — measured ~3× the XLA scan at
+    the flagship config (0.14 ms vs 0.40 ms, B=32 T=1000 K=12 on v5e);
+    larger K uses the general lane-layout two-kernel decode. Paths are
+    identical on every path, including tie-breaks (all break toward the
+    lowest state index)."""
+    B, _, K = log_obs.shape
+    if pallas_available(K) and log_a.ndim == 2:
+        if smallk_supported(K, B):
+            return smallk_viterbi(log_obs, log_a, log_pi, lengths)
         return pallas_viterbi(log_obs, log_a, log_pi, lengths)
     return core.viterbi(log_obs, log_a, log_pi, lengths)
 
@@ -167,3 +181,43 @@ def auto_log_likelihood(
             return pallas_log_likelihood(log_obs, log_a, log_pi)
         return _pallas_ll_masked(log_obs, log_a, log_pi, lengths)
     return core.log_likelihood(log_obs, log_a, log_pi, lengths)
+
+
+def auto_gmm_viterbi(
+    obs,
+    means,
+    log_vars,
+    log_w,
+    log_a,
+    log_pi,
+    lengths: Optional[jax.Array] = None,
+):
+    """Diag-GMM-HMM decode ``(states, score)`` — the flagship path.
+
+    On TPU this picks the fastest measured path for the shape:
+
+    * K ≤ 32: XLA matmul-form emission scoring + the transposed-layout
+      ``smallk_viterbi`` (0.21 ms at the flagship B=32 T=1000 S=12 C=4
+      D=80 config on v5e — the emission pass is ~0.07 ms and fusing it
+      buys nothing once the trellis is this fast);
+    * K ≤ 128 with C·ceil8(K) ≤ 128: the single fused Pallas kernel
+      (emission + trellis in one VMEM-resident program — no ``(B, T,
+      S)`` log-obs round trip through HBM);
+    * otherwise: emission scoring + ``auto_viterbi``.
+
+    Replaces reference ``mixture_gaussian.py:340-365``.
+    """
+    from ..emissions import gmm_log_probs
+
+    S, C = log_w.shape
+    B = obs.shape[0]
+    on_tpu = not _PALLAS_OPT_OUT and jax.default_backend() == "tpu"
+    if on_tpu and smallk_supported(S, B):
+        log_obs = gmm_log_probs(obs, means, log_vars, log_w, "diag")
+        return smallk_viterbi(log_obs, log_a, log_pi, lengths)
+    if on_tpu and fused_gmm_supported(S, C, "diag"):
+        return fused_gmm_viterbi(
+            obs, means, log_vars, log_w, log_a, log_pi, lengths
+        )
+    log_obs = gmm_log_probs(obs, means, log_vars, log_w, "diag")
+    return auto_viterbi(log_obs, log_a, log_pi, lengths)

@@ -137,7 +137,7 @@ def _fused_trellis_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (Bt * t_chunk, K), 1) < n_states
     )
 
-    def body(obs_buf, lo_buf, stage_buf, in_sems, out_sems):
+    def body(obs_buf, stage_buf, in_sems, out_sems):
         def in_dma(slot, chunk):
             return pltpu.make_async_copy(
                 obs_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
@@ -205,11 +205,15 @@ def _fused_trellis_kernel(
                 ssum = ssum + pltpu.roll(ssum, LANES - sh, 1)
                 sh *= 2
             lo_flat = jnp.where(lane_lt_s, m + jnp.log(ssum), _NEG)
-            lo_buf[:, :, :] = lo_flat.reshape(Bt, t_chunk, K)
+            # Scores land in the staging buffer and are overwritten in
+            # place by the trellis deltas frame-by-frame (saves a whole
+            # (Bt, t_chunk, K) VMEM buffer; the slot's previous contents
+            # were already flushed by the out_dma wait above).
+            stage_buf[slot, :, :, :] = lo_flat.reshape(Bt, t_chunk, K)
 
             # --- Max-product trellis over the chunk ---
             def frame(tf, delta):
-                lo_t = lo_buf[:, tf, :]
+                lo_t = stage_buf[slot, :, tf, :]
                 t = c * t_chunk + tf
                 d_sub = jax.lax.slice_in_dim(delta, 0, k_sub, axis=1)
                 la = la_ref[:, :]
@@ -251,7 +255,6 @@ def _fused_trellis_kernel(
     pl.run_scoped(
         body,
         obs_buf=pltpu.VMEM((2, Bt, t_chunk, d_dim), jnp.float32),
-        lo_buf=pltpu.VMEM((Bt, t_chunk, LANES), jnp.float32),
         stage_buf=pltpu.VMEM((2, Bt, t_chunk, LANES), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2,)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),

@@ -223,3 +223,57 @@ def test_fused_gmm_supported_bounds():
     assert not fused_gmm_supported(12, 4, "full")
     assert not fused_gmm_supported(128, 2, "diag")   # C*ceil8(S) > 128
     assert fused_gmm_supported(128, 1, "diag")
+
+
+# ---------------------------------------------------------------------------
+# Small-K transposed-layout Viterbi (the flagship decode path).
+# ---------------------------------------------------------------------------
+
+from pytorch_hmm_tpu.ops.smallk import smallk_supported, smallk_viterbi
+
+
+def _k_problem(B, T, K, seed=None):
+    rng = np.random.default_rng(B * T if seed is None else seed)
+    lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+    return lo, la, lp
+
+
+@pytest.mark.parametrize(
+    "shape", [(5, 300, 11), (3, 64, 5), (4, 128, 32), (1, 1, 3), (2, 500, 12)]
+)
+def test_smallk_viterbi_matches_core(shape):
+    lo, la, lp = _k_problem(*shape)
+    s_p, sc_p = smallk_viterbi(lo, la, lp)
+    s_0, sc_0 = core.viterbi(lo, la, lp)
+    assert bool(jnp.all(s_p == s_0))
+    np.testing.assert_allclose(sc_p, sc_0, atol=1e-5)
+
+
+def test_smallk_viterbi_ties_match_argmax():
+    K = 6
+    lo = jnp.zeros((2, 40, K), jnp.float32)
+    la = jnp.full((K, K), -jnp.log(float(K)))
+    lp = jnp.full((K,), -jnp.log(float(K)))
+    s_p, _ = smallk_viterbi(lo, la, lp)
+    s_0, _ = core.viterbi(lo, la, lp)
+    assert bool(jnp.all(s_p == s_0))
+
+
+def test_smallk_viterbi_lengths():
+    lo, la, lp = _k_problem(5, 300, 9, seed=3)
+    lengths = jnp.asarray([300, 31, 164, 1, 129], jnp.int32)
+    s_p, sc_p = smallk_viterbi(lo, la, lp, lengths)
+    s_0, sc_0 = core.viterbi(lo, la, lp, lengths)
+    assert bool(jnp.all(s_p == s_0))
+    np.testing.assert_allclose(sc_p, sc_0, atol=1e-5)
+    for b, n in enumerate(np.asarray(lengths)):
+        s_solo, _ = core.viterbi(lo[b:b + 1, :n], la, lp)
+        assert bool(jnp.all(s_p[b, :n] == s_solo[0]))
+
+
+def test_smallk_supported_bounds():
+    assert smallk_supported(32, 256)
+    assert not smallk_supported(33, 32)
+    assert not smallk_supported(12, 257)
