@@ -194,7 +194,7 @@ def main():
         from pytorch_hmm_tpu.models import NeuralHMM
 
         nh = NeuralHMM(
-            num_states=12, feature_dim=80, hidden_dim=256,
+            num_states=12, observation_dim=80, hidden_dim=256,
             rngs=nnx.Rngs(0),
         )
         gd_n, st_n = nnx.split(nh)
@@ -202,8 +202,8 @@ def main():
 
         def neural_fwd(o):
             m = nnx.merge(gd_n, st_n)
-            posts, ll = m(o)
-            return jnp.sum(ll) + jnp.sum(posts[:, -1])
+            gamma, alpha, beta = m(o)
+            return jnp.sum(gamma[:, -1]) + jnp.sum(alpha[:, -1])
 
         lat = measure(neural_fwd, obs, 6)
         lines.append(emit(

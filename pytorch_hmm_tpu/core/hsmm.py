@@ -41,12 +41,22 @@ def _masked(x, mask):
     return jnp.where(mask, x, _NEG)
 
 
+def _final_gather(table: jax.Array, lengths) -> jax.Array:
+    """``table[b, lengths[b] - 1]`` — (B, T, S) → (B, S)."""
+    idx = (lengths - 1).astype(jnp.int32)[:, None, None]
+    return jnp.take_along_axis(
+        table, jnp.broadcast_to(idx, (table.shape[0], 1, table.shape[2])),
+        axis=1,
+    )[:, 0]
+
+
 @partial(jax.jit, static_argnames=())
 def hsmm_forward(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_pi: jax.Array,
     log_dur: jax.Array,
+    lengths: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """HSMM forward algorithm.
 
@@ -57,16 +67,26 @@ def hsmm_forward(
         log_pi: ``(S,)`` initial state log-probabilities.
         log_dur: ``(S, D)`` duration log-pmf; column ``j`` is duration
             ``j+1`` frames.
+        lengths: optional ``(B,)`` valid lengths for ragged batches.
+            ``log_z[b]`` then scores frames ``0..lengths[b]-1`` only;
+            ``log_alpha_star[b, t]`` is unspecified for ``t >= lengths[b]``
+            (alpha at frame ``t`` never depends on later frames, so
+            in-range entries are exact without any masking).
 
     Returns:
         ``(log_alpha_star (B, T, S), log_z (B,))`` — ``log_alpha_star[t,s]``
         is the log-probability of the observations up to ``t`` with a
         segment of state ``s`` ending exactly at ``t``; ``log_z`` is the
-        sequence log-likelihood (segmentations ending at ``T-1``).
+        sequence log-likelihood (segmentations ending at the final valid
+        frame).
     """
     out = _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi=False)
     log_alpha, _, _ = out
-    log_z = logsumexp(log_alpha[:, -1], axis=-1)
+    fin = (
+        log_alpha[:, -1] if lengths is None
+        else _final_gather(log_alpha, lengths)
+    )
+    log_z = logsumexp(fin, axis=-1)
     return log_alpha, log_z
 
 
@@ -76,34 +96,49 @@ def hsmm_viterbi(
     log_a: jax.Array,
     log_pi: jax.Array,
     log_dur: jax.Array,
+    lengths: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Most-likely segmentation. Returns ``(states (B, T), score (B,))``.
 
     Replaces reference ``HSMMLayer._viterbi_decode_single``
-    (``hsmm.py:245-354``) — batched, scan-based, O(T·(DS+S²)).
+    (``hsmm.py:245-354``) — batched, scan-based, O(T·(DS+S²)). With
+    ``lengths`` (B,), each row decodes only its valid prefix; padded
+    frames repeat the row's final valid state (same convention as
+    ``core.viterbi``).
     """
     delta, dstar, phi = _hsmm_scan(log_obs, log_a, log_pi, log_dur,
                                    viterbi=True)
     B, T, S = log_obs.shape
-    delta_T = delta[:, -1]  # (B, S)
+    if lengths is None:
+        delta_T = delta[:, -1]  # (B, S)
+        dstar_T = dstar[:, -1]
+    else:
+        delta_T = _final_gather(delta, lengths)
+        dstar_T = _final_gather(dstar, lengths)
     score = jnp.max(delta_T, axis=-1)
     s0 = jnp.argmax(delta_T, axis=-1).astype(jnp.int32)
 
     # Per-frame reverse backtrace. Carry: (state of the segment covering
     # frame t, frames of that segment remaining at and below t).
-    left0 = jnp.take_along_axis(dstar[:, -1], s0[:, None], axis=1)[:, 0] + 1
+    left0 = jnp.take_along_axis(dstar_T, s0[:, None], axis=1)[:, 0] + 1
 
     def back(carry, xs):
         s, left = carry
-        phi_prev, dstar_prev = xs  # tables at frame t-1: (B, S)
-        left = left - 1
-        switch = left == 0
+        phi_prev, dstar_prev, t = xs  # tables at frame t-1: (B, S)
+        left_m1 = left - 1
+        switch = left_m1 == 0
         s_prev = jnp.take_along_axis(phi_prev, s[:, None], axis=1)[:, 0]
         d_prev = (
             jnp.take_along_axis(dstar_prev, s_prev[:, None], axis=1)[:, 0] + 1
         )
         s_new = jnp.where(switch, s_prev, s)
-        left_new = jnp.where(switch, d_prev, left)
+        left_new = jnp.where(switch, d_prev, left_m1)
+        if lengths is not None:
+            # Frames at/past each row's length are padding: emit the
+            # carried final state and leave the carry untouched.
+            pad = t >= lengths
+            s_new = jnp.where(pad, s, s_new)
+            left_new = jnp.where(pad, left, left_new)
         return (s_new, left_new), s
 
     # xs at step t are the (t-1)-frame tables; frame 0 gets dummies (the
@@ -113,7 +148,8 @@ def hsmm_viterbi(
     _, states = jax.lax.scan(
         back,
         (s0, left0),
-        (phi_shift.swapaxes(0, 1), dstar_shift.swapaxes(0, 1)),
+        (phi_shift.swapaxes(0, 1), dstar_shift.swapaxes(0, 1),
+         jnp.arange(T)),
         reverse=True,
     )
     return states.swapaxes(0, 1), score
@@ -188,6 +224,7 @@ def hsmm_backward(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_dur: jax.Array,
+    lengths: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """HSMM backward pass.
 
@@ -208,6 +245,13 @@ def hsmm_backward(
     in a (D, S) ring buffer. Consistency: ``lse_s(log_pi + beta_start[0])
     == log Z``.
 
+    With ``lengths`` (B,), rows are ragged: the boundary condition
+    ``beta_star = 0`` moves to each row's final valid frame and segments
+    must end by it. Entries at ``t >= lengths[b]`` are unspecified;
+    in-range entries are exact — padded frames only ever enter through
+    telescoping suffix-sum differences ``C(t) - C(e+1)`` over in-range
+    frames, so their contributions cancel identically.
+
     A capability the reference lacks entirely — its HSMMs can only be
     Viterbi-decoded (``hsmm.py:208-354``), never given posteriors.
     """
@@ -218,6 +262,10 @@ def hsmm_backward(
     log_a = jnp.maximum(log_a, _NEG)
     log_dur_t = jnp.maximum(log_dur.T, _NEG)  # (D, S)
     j_idx = jnp.arange(D)[None, :, None]
+    t_fin = (
+        jnp.full((B,), T - 1) if lengths is None
+        else (lengths - 1).astype(jnp.int32)
+    )
 
     w0 = jnp.full((B, D, S), _NEG, dt)
     bstart0 = jnp.full((B, S), _NEG, dt)
@@ -232,15 +280,18 @@ def hsmm_backward(
             log_a[None] + bstart_next[:, None, :], axis=2
         )
         beta_star_t = jnp.where(
-            t == T - 1, jnp.zeros((B, S), dt), bs_from_next
+            (t == t_fin)[:, None], jnp.zeros((B, S), dt), bs_from_next
         )
 
         w_t = beta_star_t - c_next  # w(t) = beta_star(t) - C(t+1)
         w_buf = jnp.concatenate([w_t[:, None], w_buf[:, :-1]], axis=1)
 
         # beta_start(t, s) = C(t) + lse_d(dur[s, d] + w(t+d-1)); the
-        # segment must end by T-1: d <= T - t  ⇔  j = d-1 <= T-1-t.
-        scores = _masked(log_dur_t[None] + w_buf, j_idx <= T - 1 - t)
+        # segment must end by the final valid frame:
+        # d <= t_fin + 1 - t  ⇔  j = d-1 <= t_fin - t.
+        scores = _masked(
+            log_dur_t[None] + w_buf, j_idx <= (t_fin[:, None, None] - t)
+        )
         beta_start_t = c_t + logsumexp(scores, axis=1)
 
         return (w_buf, beta_start_t, c_t), (beta_star_t, beta_start_t)
@@ -258,6 +309,7 @@ def hsmm_posteriors(
     log_a: jax.Array,
     log_pi: jax.Array,
     log_dur: jax.Array,
+    lengths: jax.Array | None = None,
 ):
     """Exact HSMM posteriors.
 
@@ -271,9 +323,13 @@ def hsmm_posteriors(
 
     Occupancy via the start/end telescoping identity:
     ``gamma(t) = Σ_{u<=t} start(u) − Σ_{u<=t-1} end(u)``.
+
+    With ``lengths`` (B,), all three posterior arrays are zero at padded
+    frames ``t >= lengths[b]`` and exact (per-sequence-identical) inside
+    each row's valid prefix.
     """
-    log_alpha, log_z = hsmm_forward(log_obs, log_a, log_pi, log_dur)
-    log_bstar, log_bstart = hsmm_backward(log_obs, log_a, log_dur)
+    log_alpha, log_z = hsmm_forward(log_obs, log_a, log_pi, log_dur, lengths)
+    log_bstar, log_bstart = hsmm_backward(log_obs, log_a, log_dur, lengths)
 
     lz = log_z[:, None, None]
     seg_end = jnp.exp(log_alpha + log_bstar - lz)
@@ -290,11 +346,21 @@ def hsmm_posteriors(
     mu = jnp.concatenate([mu0, mu], axis=1)  # (B, T, S)
     seg_start = jnp.exp(mu + log_bstart - lz)
 
+    if lengths is not None:
+        valid = (
+            jnp.arange(log_obs.shape[1])[None, :, None]
+            < lengths[:, None, None]
+        )
+        seg_end = jnp.where(valid, seg_end, 0.0)
+        seg_start = jnp.where(valid, seg_start, 0.0)
+
     gamma = jnp.cumsum(seg_start, axis=1) - jnp.concatenate(
         [jnp.zeros_like(seg_end[:, :1]), jnp.cumsum(seg_end, axis=1)[:, :-1]],
         axis=1,
     )
     gamma = jnp.clip(gamma, 0.0, 1.0)
+    if lengths is not None:
+        gamma = jnp.where(valid, gamma, 0.0)
     return {
         "gamma": gamma,
         "segment_end": seg_end,

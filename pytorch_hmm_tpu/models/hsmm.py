@@ -22,6 +22,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -152,35 +153,56 @@ class HSMMLayer(TrainMode):
 
     # -- inference ------------------------------------------------------------
     def viterbi_decode_hsmm(
-        self, observations: jax.Array
+        self,
+        observations: jax.Array,
+        lengths: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Best segmentation: ``(states (B, T), scores (B,))``
-        (``hsmm.py:208-243``)."""
+        (``hsmm.py:208-243``). ``lengths`` (B,) masks ragged batches
+        (padded frames repeat each row's final valid state)."""
         log_obs = self.get_observation_log_probs(observations)
         return hsmm_viterbi(
             log_obs, self._log_a(), self._log_pi(),
-            self.get_duration_log_probs(),
+            self.get_duration_log_probs(), lengths,
         )
 
-    def __call__(self, observations: jax.Array):
-        return self.viterbi_decode_hsmm(observations)
+    def __call__(
+        self,
+        observations: jax.Array,
+        lengths: Optional[jax.Array] = None,
+    ):
+        return self.viterbi_decode_hsmm(observations, lengths)
 
     forward = __call__
 
-    def log_likelihood(self, observations: jax.Array) -> jax.Array:
+    def log_likelihood(
+        self,
+        observations: jax.Array,
+        lengths: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """Marginal log-likelihood over all segmentations ``(B,)`` — new
         capability; the reference has no HSMM forward algorithm."""
         log_obs = self.get_observation_log_probs(observations)
         _, log_z = hsmm_forward(
             log_obs, self._log_a(), self._log_pi(),
-            self.get_duration_log_probs(),
+            self.get_duration_log_probs(), lengths,
         )
         return log_z
 
-    def compute_loss(self, observations: jax.Array) -> jax.Array:
-        return -jnp.mean(self.log_likelihood(observations))
+    def compute_loss(
+        self,
+        observations: jax.Array,
+        lengths: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        return -jnp.mean(self.log_likelihood(observations, lengths))
 
-    def em_step(self, observations: jax.Array, var_floor: float = 1e-3):
+    def em_step(
+        self,
+        observations: jax.Array,
+        var_floor: float = 1e-3,
+        lengths: Optional[jax.Array] = None,
+        mesh=None,
+    ):
         """One Baum-Welch update for the HSMM (new capability — the
         reference cannot train its HSMMs at all beyond autograd).
 
@@ -194,19 +216,30 @@ class HSMMLayer(TrainMode):
         then mapped through the mean/variance relations — approximated
         by the gamma fit). Returns the mean log-likelihood before the
         update.
+
+        ``lengths`` (B,) restricts every statistic to each row's valid
+        prefix (padded-frame gradients are identically zero through the
+        final-frame gather). With ``mesh`` (a ``jax.sharding.Mesh`` with
+        a ``data`` axis), the E-step runs batch-sharded under
+        ``shard_map`` and the sufficient statistics are ``psum``-reduced
+        over devices — distributed HSMM EM, which the reference cannot
+        express at all.
         """
         obs = observations if observations.ndim == 3 else observations[None]
-        log_obs = self.get_observation_log_probs(obs)
-        occupancy, trans_counts, dur_counts, lz = _hsmm_em_stats(
-            log_obs, self._log_a(), self._log_pi(),
+        w, sx, sx2, trans_counts, dur_counts, lz_mean = _hsmm_em_stats_reduced(
+            obs,
+            self.observation_means[...],
+            self.observation_log_vars[...],
+            self._log_a(),
+            self._log_pi(),
             self.get_duration_log_probs(),
+            lengths,
+            mesh,
         )
 
         # Emissions: occupancy-weighted Gaussian moments.
-        gamma = occupancy  # (B, T, S) posterior usage of each state/frame
-        w = jnp.sum(gamma, axis=(0, 1)) + 1e-10  # (S,)
-        mean = jnp.einsum("bts,btd->sd", gamma, obs) / w[:, None]
-        ex2 = jnp.einsum("bts,btd->sd", gamma, obs * obs) / w[:, None]
+        mean = sx / w[:, None]
+        ex2 = sx2 / w[:, None]
         var = jnp.maximum(ex2 - mean**2, var_floor)
         self.observation_means[...] = mean
         self.observation_log_vars[...] = jnp.log(var)
@@ -223,7 +256,7 @@ class HSMMLayer(TrainMode):
         # the duration parameters are trainable (fixed-duration models
         # keep them as Buffers that EM must not touch).
         if not self.learnable_duration_params:
-            return jnp.mean(lz)
+            return lz_mean
         dc = jnp.maximum(dur_counts, 0.0) + 1e-10  # (S, D)
         d_grid = jnp.arange(1, self.max_duration + 1, dtype=jnp.float32)
         p_d = dc / jnp.sum(dc, axis=-1, keepdims=True)
@@ -243,16 +276,21 @@ class HSMMLayer(TrainMode):
                 jax.scipy.special.gammaln(1.0 + 1.0 / conc)
             )
             self.duration_scale[...] = inv_sp(scale)
-        return jnp.mean(lz)
+        return lz_mean
 
-    def posteriors(self, observations: jax.Array) -> dict:
+    def posteriors(
+        self,
+        observations: jax.Array,
+        lengths: Optional[jax.Array] = None,
+    ) -> dict:
         """Exact frame occupancy + segment boundary posteriors (keys:
         ``gamma``, ``segment_start``, ``segment_end``, ``log_z``) — new
-        capability; the reference can only Viterbi-decode its HSMMs."""
+        capability; the reference can only Viterbi-decode its HSMMs.
+        With ``lengths`` (B,), posteriors are zero at padded frames."""
         log_obs = self.get_observation_log_probs(observations)
         return hsmm_posteriors(
             log_obs, self._log_a(), self._log_pi(),
-            self.get_duration_log_probs(),
+            self.get_duration_log_probs(), lengths,
         )
 
     # -- generation ------------------------------------------------------------
@@ -396,15 +434,16 @@ class DurationConstrainedHMM(TrainMode):
     forward = __call__
 
 
-def _hsmm_em_stats(log_obs, log_a, log_pi, log_dur):
+def _hsmm_em_stats(log_obs, log_a, log_pi, log_dur, lengths=None):
     """E-step sufficient statistics via autodiff: the gradient of
     ``log Z`` w.r.t. each log-parameter tensor is its expected usage
     count under the posterior (segment transitions for ``log_a``,
     per-duration segment counts for ``log_dur``, frame occupancy for
-    ``log_obs``)."""
+    ``log_obs``). With ``lengths`` the gradients at padded frames are
+    identically zero (log Z never reads them)."""
 
     def lz_sum(log_obs, log_a, log_pi, log_dur):
-        _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur)
+        _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur, lengths)
         return jnp.sum(lz), lz
 
     grads, lz = jax.grad(lz_sum, argnums=(0, 1, 3), has_aux=True)(
@@ -412,3 +451,62 @@ def _hsmm_em_stats(log_obs, log_a, log_pi, log_dur):
     )
     occupancy, trans_counts, dur_counts = grads
     return occupancy, trans_counts, dur_counts, lz
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _hsmm_em_stats_reduced(
+    obs, means, log_vars, log_a, log_pi, log_dur, lengths=None, mesh=None
+):
+    """Reduced HSMM E-step statistics, optionally batch-sharded.
+
+    Returns ``(w (S,), sx (S, F), sx2 (S, F), trans_counts (S, S),
+    dur_counts (S, D), lz_mean)`` — occupancy mass and first/second
+    occupancy-weighted observation moments plus expected segment
+    transition / duration counts, already summed over the (global)
+    batch and frames. With ``mesh`` the per-device partial sums are
+    ``psum``-reduced over the ``data`` axis under ``shard_map``, so the
+    (B, T, S) occupancy tensor never leaves its home device.
+    """
+    B = obs.shape[0]
+
+    def local(obs_blk, lengths_blk, means, log_vars, log_a, log_pi, log_dur):
+        log_obs = diag_gaussian_log_probs(obs_blk, means, log_vars)
+        gamma, tc, dc, lz = _hsmm_em_stats(
+            log_obs, log_a, log_pi, log_dur, lengths_blk
+        )
+        w = jnp.sum(gamma, axis=(0, 1))  # (S,)
+        sx = jnp.einsum("bts,btd->sd", gamma, obs_blk)
+        sx2 = jnp.einsum("bts,btd->sd", gamma, obs_blk * obs_blk)
+        return w, sx, sx2, tc, dc, jnp.sum(lz)
+
+    if mesh is None:
+        w, sx, sx2, tc, dc, lz_tot = local(
+            obs, lengths, means, log_vars, log_a, log_pi, log_dur
+        )
+        return w + 1e-10, sx, sx2, tc, dc, lz_tot / B
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    if lengths is None:
+        lengths = jnp.full((B,), obs.shape[1], dtype=jnp.int32)
+
+    def body(obs_blk, lengths_blk, means, log_vars, log_a, log_pi, log_dur):
+        stats = local(
+            obs_blk, lengths_blk, means, log_vars, log_a, log_pi, log_dur
+        )
+        return jax.tree.map(lambda x: jax.lax.psum(x, DATA_AXIS), stats)
+
+    rep = P()
+    # check_vma=False: the segment-DP scan initializes carries from
+    # unvarying constants, which the vma type system would reject even
+    # though the psum-reduced outputs are correctly replicated.
+    w, sx, sx2, tc, dc, lz_tot = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep),
+        check_vma=False,
+    )(obs, lengths, means, log_vars, log_a, log_pi, log_dur)
+    return w + 1e-10, sx, sx2, tc, dc, lz_tot / B

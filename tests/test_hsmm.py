@@ -388,3 +388,111 @@ def test_semi_markov_em_rejects_unsupported():
                       rngs=nnx.Rngs(0))
     with pytest.raises(NotImplementedError):
         m.em_step(jnp.zeros((1, 10, 5)))
+
+
+# ---------------------------------------------------------------------------
+# Ragged (lengths) support: padded-batch results == per-row unpadded results
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ragged_hsmm_problem(hsmm_problem):
+    log_obs, log_a, log_pi, log_dur = hsmm_problem
+    # Tile to 4 rows with assorted valid lengths; fill the padding with
+    # garbage so any leakage is loud.
+    rng = np.random.default_rng(9)
+    lo = np.concatenate([log_obs, log_obs[::-1]], axis=0)  # (4, 10, 3)
+    lengths = np.asarray([10, 6, 8, 3], np.int32)
+    lo_pad = lo.copy()
+    for b, n in enumerate(lengths):
+        lo_pad[b, n:] = rng.normal(scale=50.0, size=lo_pad[b, n:].shape)
+    return (
+        jnp.asarray(lo_pad), jnp.asarray(log_a), jnp.asarray(log_pi),
+        jnp.asarray(log_dur), jnp.asarray(lengths),
+    )
+
+
+def test_hsmm_forward_ragged_matches_unpadded(ragged_hsmm_problem):
+    lo, la, lp, ld, lengths = ragged_hsmm_problem
+    _, lz = hsmm_forward(lo, la, lp, ld, lengths)
+    for b, n in enumerate(np.asarray(lengths)):
+        _, lz_b = hsmm_forward(lo[b:b + 1, :n], la, lp, ld)
+        np.testing.assert_allclose(lz[b], lz_b[0], rtol=1e-5)
+
+
+def test_hsmm_viterbi_ragged_matches_unpadded(ragged_hsmm_problem):
+    lo, la, lp, ld, lengths = ragged_hsmm_problem
+    states, score = hsmm_viterbi(lo, la, lp, ld, lengths)
+    states, score = np.asarray(states), np.asarray(score)
+    for b, n in enumerate(np.asarray(lengths)):
+        s_b, sc_b = hsmm_viterbi(lo[b:b + 1, :n], la, lp, ld)
+        np.testing.assert_array_equal(states[b, :n], np.asarray(s_b)[0])
+        np.testing.assert_allclose(score[b], np.asarray(sc_b)[0], rtol=1e-5)
+        # Padded frames repeat the final valid state.
+        assert (states[b, n:] == states[b, n - 1]).all()
+
+
+def test_hsmm_posteriors_ragged_matches_unpadded(ragged_hsmm_problem):
+    from pytorch_hmm_tpu.core.hsmm import hsmm_posteriors
+
+    lo, la, lp, ld, lengths = ragged_hsmm_problem
+    post = hsmm_posteriors(lo, la, lp, ld, lengths)
+    for b, n in enumerate(np.asarray(lengths)):
+        ref = hsmm_posteriors(lo[b:b + 1, :n], la, lp, ld)
+        for key in ("gamma", "segment_start", "segment_end"):
+            np.testing.assert_allclose(
+                np.asarray(post[key])[b, :n], np.asarray(ref[key])[0],
+                atol=1e-5,
+            )
+            # Zero past each row's length.
+            if n < lo.shape[1]:
+                assert np.abs(np.asarray(post[key])[b, n:]).max() == 0.0
+        np.testing.assert_allclose(post["log_z"][b], ref["log_z"][0],
+                                   rtol=1e-5)
+
+
+def test_hsmm_em_padding_invariant():
+    """Garbage in the padded region must not change EM updates."""
+    rng = np.random.default_rng(5)
+    obs = rng.normal(size=(3, 20, 4)).astype(np.float32)
+    lengths = jnp.asarray([20, 12, 15], jnp.int32)
+    obs2 = obs.copy()
+    for b, n in enumerate(np.asarray(lengths)):
+        obs2[b, n:] = rng.normal(scale=30.0, size=obs2[b, n:].shape)
+
+    def run(o):
+        m = HSMMLayer(3, 4, max_duration=6, rngs=nnx.Rngs(0))
+        ll = m.em_step(jnp.asarray(o), lengths=lengths)
+        return ll, m.observation_means[...], m.transition_logits[...]
+
+    ll1, mean1, tl1 = run(obs)
+    ll2, mean2, tl2 = run(obs2)
+    np.testing.assert_allclose(ll1, ll2, rtol=1e-6)
+    np.testing.assert_allclose(mean1, mean2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(tl1, tl2, rtol=1e-5, atol=1e-6)
+
+
+def test_hsmm_em_distributed_matches_local():
+    """Batch-sharded HSMM EM (shard_map + psum) == single-device EM."""
+    from pytorch_hmm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    obs = jnp.asarray(rng.normal(size=(8, 16, 4)), jnp.float32)
+    mesh = make_mesh(data=8, time=1)
+
+    m_local = HSMMLayer(3, 4, max_duration=6, rngs=nnx.Rngs(0))
+    m_dist = HSMMLayer(3, 4, max_duration=6, rngs=nnx.Rngs(0))
+    ll_l = m_local.em_step(obs)
+    ll_d = m_dist.em_step(obs, mesh=mesh)
+    np.testing.assert_allclose(ll_l, ll_d, rtol=1e-5)
+    np.testing.assert_allclose(
+        m_local.observation_means[...], m_dist.observation_means[...],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        m_local.transition_logits[...], m_dist.transition_logits[...],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        m_local.duration_shape[...], m_dist.duration_shape[...],
+        rtol=1e-4, atol=1e-5,
+    )
