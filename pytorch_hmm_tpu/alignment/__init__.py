@@ -18,6 +18,7 @@ from .ctc import (
     expand_targets_with_blank,
     remove_ctc_blanks,
 )
+from .ctc_decode import beam_search_decode_batch, greedy_decode_batch
 from .dtw import (
     ConstrainedDTWAligner,
     DTWAligner,
@@ -55,4 +56,6 @@ __all__ = [
     "remove_ctc_blanks",
     "collapse_repeated_tokens",
     "ctc_decode_sequence",
+    "greedy_decode_batch",
+    "beam_search_decode_batch",
 ]

@@ -17,8 +17,10 @@ fully vectorized over batch and lattice positions:
 * ``ctc_alignment_path`` — posterior-based alignment with a *working* α;
 * ``CTCAligner.align`` — exact max-semiring forced alignment (Viterbi on
   the lattice) with backtrace;
-* ``CTCAligner.decode`` — greedy, plus a real prefix beam search
-  (host-side numpy; standard algorithm) instead of the reference's stub.
+* ``CTCAligner.decode`` / ``decode_batch`` — batched greedy and a real
+  fixed-width prefix beam search, both single jitted device programs
+  (``ctc_decode.py``) instead of the reference's stub; the host-side
+  numpy ``_prefix_beam_search`` remains as the test oracle.
 """
 
 from __future__ import annotations
@@ -373,39 +375,35 @@ class CTCAligner(nnx.Module):
     ) -> List[jax.Array]:
         """Greedy (``beam_width == 1``) or prefix-beam-search decoding.
 
-        The beam search is a real prefix beam search (host-side; the
-        reference's "beam search" silently runs greedy, ``ctc.py:355-362``).
+        Both paths run as single batched jit programs on device
+        (:mod:`ctc_decode`); the list-of-ragged return is a host-side
+        view. For a pure device pipeline use :meth:`decode_batch`.
+        (The reference's "beam search" silently runs greedy,
+        ``ctc.py:355-362``.)
         """
+        tokens, out_lens = self.decode_batch(
+            log_probs, input_lengths, beam_width
+        )
+        lens = np.asarray(out_lens)
+        return [tokens[b, : lens[b]] for b in range(tokens.shape[0])]
+
+    def decode_batch(
+        self,
+        log_probs: jax.Array,
+        input_lengths: jax.Array,
+        beam_width: int = 1,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Batched decode on device: ``(tokens (B, L), out_lengths (B,))``
+        padded with ``blank_id`` — no per-utterance host loop."""
+        from .ctc_decode import beam_search_decode_batch, greedy_decode_batch
+
         if beam_width == 1:
-            return self._greedy_decode(log_probs, input_lengths)
-        return self._beam_search_decode(log_probs, input_lengths, beam_width)
-
-    def _greedy_decode(self, log_probs, input_lengths) -> List[jax.Array]:
-        best = jnp.argmax(log_probs, axis=-1)  # (T, B)
-        lens = np.asarray(input_lengths)
-        out = []
-        for b in range(best.shape[1]):
-            out.append(
-                ctc_decode_sequence(best[: lens[b], b], self.blank_id)
+            return greedy_decode_batch(
+                log_probs, input_lengths, self.blank_id
             )
-        return out
-
-    def _beam_search_decode(
-        self, log_probs, input_lengths, beam_width
-    ) -> List[jax.Array]:
-        lp = np.asarray(log_probs)  # (T, B, C)
-        lens = np.asarray(input_lengths)
-        out = []
-        for b in range(lp.shape[1]):
-            out.append(
-                jnp.asarray(
-                    _prefix_beam_search(
-                        lp[: lens[b], b], beam_width, self.blank_id
-                    ),
-                    dtype=jnp.int32,
-                )
-            )
-        return out
+        return beam_search_decode_batch(
+            log_probs, input_lengths, beam_width, self.blank_id
+        )
 
     def align(
         self, log_probs, targets, input_lengths, target_lengths

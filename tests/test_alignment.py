@@ -271,3 +271,69 @@ def test_ctc_segmentation():
     total_text = sum(s[1].shape[0] for s in segments)
     assert total_text == 30, "segments must cover the transcript"
     assert segments[-1][3] == 300, "segments must cover the audio"
+
+
+# ---------------------------------------------------------------------------
+# Device-side batched CTC decode vs host oracles
+# ---------------------------------------------------------------------------
+
+def test_ctc_greedy_decode_batch_matches_host():
+    from pytorch_hmm_tpu.alignment import greedy_decode_batch
+
+    rng = np.random.default_rng(11)
+    T, B, C = 25, 5, 6
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(scale=2.0, size=(T, B, C)), jnp.float32), -1
+    )
+    in_lens = jnp.asarray([25, 17, 9, 25, 1], jnp.int32)
+
+    tokens, out_lens = greedy_decode_batch(lp, in_lens, blank_id=0)
+    best = np.asarray(jnp.argmax(lp, axis=-1))  # (T, B)
+    for b in range(B):
+        host = np.asarray(
+            ctc_decode_sequence(jnp.asarray(best[: int(in_lens[b]), b]))
+        )
+        n = int(out_lens[b])
+        np.testing.assert_array_equal(np.asarray(tokens)[b, :n], host)
+        # Padding is blank.
+        assert (np.asarray(tokens)[b, n:] == 0).all()
+
+
+@pytest.mark.parametrize("beam_width", [2, 4, 8])
+def test_ctc_beam_decode_batch_matches_host_oracle(beam_width):
+    from pytorch_hmm_tpu.alignment import beam_search_decode_batch
+    from pytorch_hmm_tpu.alignment.ctc import _prefix_beam_search
+
+    rng = np.random.default_rng(13)
+    T, B, C = 12, 4, 5
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(scale=1.5, size=(T, B, C)), jnp.float32), -1
+    )
+    in_lens = jnp.asarray([12, 8, 5, 12], jnp.int32)
+
+    tokens, out_lens = beam_search_decode_batch(
+        lp, in_lens, beam_width=beam_width, blank_id=0
+    )
+    lp_np = np.asarray(lp, np.float32)
+    for b in range(B):
+        host = _prefix_beam_search(
+            lp_np[: int(in_lens[b]), b], beam_width, blank_id=0
+        )
+        n = int(out_lens[b])
+        np.testing.assert_array_equal(
+            np.asarray(tokens)[b, :n], host,
+            err_msg=f"row {b} beam_width {beam_width}",
+        )
+
+
+def test_ctc_decode_batch_through_aligner(ctc_problem):
+    lp, targets, in_lens, tgt_lens = ctc_problem
+    aligner = CTCAligner(num_classes=6)
+    tokens, out_lens = aligner.decode_batch(lp, in_lens)
+    ragged = aligner.decode(lp, in_lens)
+    for b, seq in enumerate(ragged):
+        np.testing.assert_array_equal(
+            np.asarray(tokens)[b, : int(out_lens[b])], np.asarray(seq)
+        )
+    tokens_w, out_lens_w = aligner.decode_batch(lp, in_lens, beam_width=4)
+    assert tokens_w.shape[0] == out_lens_w.shape[0] == lp.shape[1]
