@@ -226,7 +226,8 @@ class HSMMLayer(TrainMode):
         express at all.
         """
         obs = observations if observations.ndim == 3 else observations[None]
-        w, sx, sx2, trans_counts, dur_counts, lz_mean = _hsmm_em_stats_reduced(
+        w, sx, sx2, trans_counts, _, dur_counts, lz_mean = (
+            _hsmm_em_stats_reduced(
             obs,
             self.observation_means[...],
             self.observation_log_vars[...],
@@ -235,7 +236,7 @@ class HSMMLayer(TrainMode):
             self.get_duration_log_probs(),
             lengths,
             mesh,
-        )
+        ))
 
         # Emissions: occupancy-weighted Gaussian moments.
         mean = sx / w[:, None]
@@ -438,19 +439,20 @@ def _hsmm_em_stats(log_obs, log_a, log_pi, log_dur, lengths=None):
     """E-step sufficient statistics via autodiff: the gradient of
     ``log Z`` w.r.t. each log-parameter tensor is its expected usage
     count under the posterior (segment transitions for ``log_a``,
-    per-duration segment counts for ``log_dur``, frame occupancy for
-    ``log_obs``). With ``lengths`` the gradients at padded frames are
-    identically zero (log Z never reads them)."""
+    initial-state counts for ``log_pi``, per-duration segment counts for
+    ``log_dur``, frame occupancy for ``log_obs``). With ``lengths`` the
+    gradients at padded frames are identically zero (log Z never reads
+    them)."""
 
     def lz_sum(log_obs, log_a, log_pi, log_dur):
         _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur, lengths)
         return jnp.sum(lz), lz
 
-    grads, lz = jax.grad(lz_sum, argnums=(0, 1, 3), has_aux=True)(
+    grads, lz = jax.grad(lz_sum, argnums=(0, 1, 2, 3), has_aux=True)(
         log_obs, log_a, log_pi, log_dur
     )
-    occupancy, trans_counts, dur_counts = grads
-    return occupancy, trans_counts, dur_counts, lz
+    occupancy, trans_counts, pi_counts, dur_counts = grads
+    return occupancy, trans_counts, pi_counts, dur_counts, lz
 
 
 @partial(jax.jit, static_argnames=("mesh",))
@@ -460,30 +462,31 @@ def _hsmm_em_stats_reduced(
     """Reduced HSMM E-step statistics, optionally batch-sharded.
 
     Returns ``(w (S,), sx (S, F), sx2 (S, F), trans_counts (S, S),
-    dur_counts (S, D), lz_mean)`` — occupancy mass and first/second
-    occupancy-weighted observation moments plus expected segment
-    transition / duration counts, already summed over the (global)
-    batch and frames. With ``mesh`` the per-device partial sums are
-    ``psum``-reduced over the ``data`` axis under ``shard_map``, so the
-    (B, T, S) occupancy tensor never leaves its home device.
+    pi_counts (S,), dur_counts (S, D), lz_mean)`` — occupancy mass and
+    first/second occupancy-weighted observation moments plus expected
+    segment transition / initial-state / duration counts, already summed
+    over the (global) batch and frames. With ``mesh`` the per-device
+    partial sums are ``psum``-reduced over the ``data`` axis under
+    ``shard_map``, so the (B, T, S) occupancy tensor never leaves its
+    home device.
     """
     B = obs.shape[0]
 
     def local(obs_blk, lengths_blk, means, log_vars, log_a, log_pi, log_dur):
         log_obs = diag_gaussian_log_probs(obs_blk, means, log_vars)
-        gamma, tc, dc, lz = _hsmm_em_stats(
+        gamma, tc, pc, dc, lz = _hsmm_em_stats(
             log_obs, log_a, log_pi, log_dur, lengths_blk
         )
         w = jnp.sum(gamma, axis=(0, 1))  # (S,)
         sx = jnp.einsum("bts,btd->sd", gamma, obs_blk)
         sx2 = jnp.einsum("bts,btd->sd", gamma, obs_blk * obs_blk)
-        return w, sx, sx2, tc, dc, jnp.sum(lz)
+        return w, sx, sx2, tc, pc, dc, jnp.sum(lz)
 
     if mesh is None:
-        w, sx, sx2, tc, dc, lz_tot = local(
+        w, sx, sx2, tc, pc, dc, lz_tot = local(
             obs, lengths, means, log_vars, log_a, log_pi, log_dur
         )
-        return w + 1e-10, sx, sx2, tc, dc, lz_tot / B
+        return w + 1e-10, sx, sx2, tc, pc, dc, lz_tot / B
 
     from jax.sharding import PartitionSpec as P
 
@@ -502,11 +505,11 @@ def _hsmm_em_stats_reduced(
     # check_vma=False: the segment-DP scan initializes carries from
     # unvarying constants, which the vma type system would reject even
     # though the psum-reduced outputs are correctly replicated.
-    w, sx, sx2, tc, dc, lz_tot = jax.shard_map(
+    w, sx, sx2, tc, pc, dc, lz_tot = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), rep, rep, rep, rep, rep),
-        out_specs=(rep, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )(obs, lengths, means, log_vars, log_a, log_pi, log_dur)
-    return w + 1e-10, sx, sx2, tc, dc, lz_tot / B
+    return w + 1e-10, sx, sx2, tc, pc, dc, lz_tot / B

@@ -315,33 +315,45 @@ class SemiMarkovHMM(TrainMode):
     def compute_loss(self, observations: jax.Array) -> jax.Array:
         return -jnp.mean(self.log_likelihood(observations))
 
-    def em_step(self, observations: jax.Array, var_floor: float = 1e-3):
+    def em_step(
+        self,
+        observations: jax.Array,
+        var_floor: float = 1e-3,
+        lengths: Optional[jax.Array] = None,
+        mesh=None,
+    ):
         """One Baum-Welch update (gaussian observation model, parametric
         durations). E-step statistics are gradients of ``log Z`` through
         the segment DP; M-step mirrors ``HSMMLayer.em_step``. Returns
-        the mean log-likelihood before the update."""
+        the mean log-likelihood before the update.
+
+        ``lengths`` (B,) restricts statistics to each row's valid prefix;
+        ``mesh`` (a ``jax.sharding.Mesh`` with a ``data`` axis) runs the
+        E-step batch-sharded with ``psum``-reduced statistics."""
         if self.observation_model_type != "gaussian":
             raise NotImplementedError("em_step requires gaussian emissions")
         if self.duration_model.distribution_type == "neural":
             raise NotImplementedError(
                 "em_step requires a parametric duration model"
             )
+        from .hsmm import _hsmm_em_stats_reduced
+
         obs = observations if observations.ndim == 3 else observations[None]
-        log_obs = self.observation_log_probs(obs)
+        w, sx, sx2, trans_counts, pi_counts, dur_counts, lz_mean = (
+            _hsmm_em_stats_reduced(
+                obs,
+                self.observation_means[...],
+                self.observation_logvars[...],
+                self._log_a(),
+                self._log_pi(),
+                self.duration_model.log_pmf_table(),
+                lengths,
+                mesh,
+            )
+        )
 
-        def lz_sum(log_obs, log_a, log_pi, log_dur):
-            _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur)
-            return jnp.sum(lz), lz
-
-        (occupancy, trans_counts, pi_counts, dur_counts), lz = jax.grad(
-            lz_sum, argnums=(0, 1, 2, 3), has_aux=True
-        )(log_obs, self._log_a(), self._log_pi(),
-          self.duration_model.log_pmf_table())
-
-        gamma = occupancy
-        w = jnp.sum(gamma, axis=(0, 1)) + 1e-10
-        mean = jnp.einsum("bts,btd->sd", gamma, obs) / w[:, None]
-        ex2 = jnp.einsum("bts,btd->sd", gamma, obs * obs) / w[:, None]
+        mean = sx / w[:, None]
+        ex2 = sx2 / w[:, None]
         self.observation_means[...] = mean
         self.observation_logvars[...] = jnp.log(
             jnp.maximum(ex2 - mean**2, var_floor)
@@ -372,7 +384,7 @@ class SemiMarkovHMM(TrainMode):
                 jnp.maximum(m - dm.min_duration, 1e-3)
             )
             dm.std_params[...] = inv_sp(jnp.sqrt(v))
-        return jnp.mean(lz)
+        return lz_mean
 
     def posteriors(self, observations: jax.Array) -> Dict[str, jax.Array]:
         """Exact frame occupancy + segment boundary posteriors."""

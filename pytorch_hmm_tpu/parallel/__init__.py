@@ -22,6 +22,11 @@ from .sharded import (
     sharded_log_likelihood,
     sharded_viterbi,
 )
+from .sharded_hsmm import (
+    sharded_hsmm_forward,
+    sharded_hsmm_log_likelihood,
+    sharded_hsmm_viterbi,
+)
 from .multihost import global_mesh, initialize_multihost
 from .train import hmm_loss_parts, make_sharded_train_step, shard_batch
 
@@ -35,6 +40,9 @@ __all__ = [
     "sharded_forward_backward",
     "sharded_log_likelihood",
     "sharded_viterbi",
+    "sharded_hsmm_forward",
+    "sharded_hsmm_log_likelihood",
+    "sharded_hsmm_viterbi",
     "hmm_loss_parts",
     "make_sharded_train_step",
     "shard_batch",

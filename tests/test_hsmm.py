@@ -496,3 +496,44 @@ def test_hsmm_em_distributed_matches_local():
         m_local.duration_shape[...], m_dist.duration_shape[...],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_semi_markov_em_distributed_matches_local():
+    """Batch-sharded SemiMarkov EM == single-device EM."""
+    from pytorch_hmm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(21)
+    obs = jnp.asarray(rng.normal(size=(8, 20, 5)), jnp.float32)
+    mesh = make_mesh(data=8, time=1)
+
+    m_l = SemiMarkovHMM(3, 5, max_duration=8, rngs=nnx.Rngs(2))
+    m_d = SemiMarkovHMM(3, 5, max_duration=8, rngs=nnx.Rngs(2))
+    ll_l = m_l.em_step(obs)
+    ll_d = m_d.em_step(obs, mesh=mesh)
+    np.testing.assert_allclose(ll_l, ll_d, rtol=1e-5)
+    np.testing.assert_allclose(
+        m_l.observation_means[...], m_d.observation_means[...],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        m_l.initial_logits[...], m_d.initial_logits[...],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_semi_markov_em_padding_invariant():
+    rng = np.random.default_rng(23)
+    obs = rng.normal(size=(2, 24, 5)).astype(np.float32)
+    lengths = jnp.asarray([24, 15], jnp.int32)
+    obs2 = obs.copy()
+    obs2[1, 15:] = rng.normal(scale=25.0, size=obs2[1, 15:].shape)
+
+    def run(o):
+        m = SemiMarkovHMM(3, 5, max_duration=8, rngs=nnx.Rngs(0))
+        ll = m.em_step(jnp.asarray(o), lengths=lengths)
+        return ll, m.observation_means[...]
+
+    ll1, mean1 = run(obs)
+    ll2, mean2 = run(obs2)
+    np.testing.assert_allclose(ll1, ll2, rtol=1e-6)
+    np.testing.assert_allclose(mean1, mean2, rtol=1e-5, atol=1e-6)

@@ -118,3 +118,68 @@ def test_sharded_em_matches_single_device():
         np.asarray(m1.means[...]), np.asarray(m2.means[...]), atol=1e-3
     )
     assert lls1[-1] > lls1[0], "EM must improve the likelihood"
+
+
+# ---------------------------------------------------------------------------
+# Sharded HSMM (augmented-chain time-block decomposition)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hsmm_sharded_problem():
+    from pytorch_hmm_tpu.core.hsmm import hsmm_forward  # noqa: F401
+
+    rng = np.random.default_rng(17)
+    B, T, S, D = 8, 64, 3, 5
+    log_obs = jnp.asarray(rng.normal(size=(B, T, S)), jnp.float32)
+    la = np.full((S, S), -1e30, np.float32)
+    for i in range(S):
+        cols = [j for j in range(S) if j != i]
+        la[i, cols] = np.log(rng.dirichlet(np.ones(S - 1)))
+    log_pi = jnp.log(
+        jnp.asarray(rng.dirichlet(np.ones(S)), jnp.float32)
+    )
+    log_dur = jnp.log(
+        jnp.asarray(rng.dirichlet(np.ones(D), size=S), jnp.float32)
+    )
+    return log_obs, jnp.asarray(la), log_pi, log_dur
+
+
+@pytest.mark.parametrize("data,time", MESHES)
+def test_sharded_hsmm_forward_matches(hsmm_sharded_problem, data, time):
+    from pytorch_hmm_tpu.core.hsmm import hsmm_forward
+    from pytorch_hmm_tpu.parallel import sharded_hsmm_forward
+
+    lo, la, lp, ld = hsmm_sharded_problem
+    mesh = make_mesh(data=data, time=time)
+    stars, lz = sharded_hsmm_forward(lo, la, lp, ld, mesh)
+    stars0, lz0 = hsmm_forward(lo, la, lp, ld)
+    np.testing.assert_allclose(lz, lz0, atol=1e-4)
+    np.testing.assert_allclose(stars, stars0, atol=1e-3)
+
+
+@pytest.mark.parametrize("data,time", MESHES)
+def test_sharded_hsmm_viterbi_matches(hsmm_sharded_problem, data, time):
+    from pytorch_hmm_tpu.core.hsmm import hsmm_viterbi
+    from pytorch_hmm_tpu.parallel import sharded_hsmm_viterbi
+
+    lo, la, lp, ld = hsmm_sharded_problem
+    mesh = make_mesh(data=data, time=time)
+    s, sc = sharded_hsmm_viterbi(lo, la, lp, ld, mesh)
+    s0, sc0 = hsmm_viterbi(lo, la, lp, ld)
+    assert bool(jnp.all(s == s0)), "sharded HSMM segmentation differs"
+    np.testing.assert_allclose(sc, sc0, atol=1e-4)
+
+
+def test_sharded_hsmm_likelihood_gradient_matches(hsmm_sharded_problem):
+    from pytorch_hmm_tpu.core.hsmm import hsmm_forward
+    from pytorch_hmm_tpu.parallel import sharded_hsmm_log_likelihood
+
+    lo, la, lp, ld = hsmm_sharded_problem
+    mesh = make_mesh(data=2, time=4)
+    g = jax.grad(
+        lambda x: jnp.sum(sharded_hsmm_log_likelihood(x, la, lp, ld, mesh))
+    )(lo)
+    g0 = jax.grad(
+        lambda x: jnp.sum(hsmm_forward(x, la, lp, ld)[1])
+    )(lo)
+    np.testing.assert_allclose(g, g0, atol=1e-3)
