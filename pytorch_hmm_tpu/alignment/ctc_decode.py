@@ -31,7 +31,10 @@ import jax.numpy as jnp
 __all__ = ["greedy_decode_batch", "beam_search_decode_batch"]
 
 _NEG = -1e30
-_HASH_MULT = jnp.uint32(1000003)
+# Plain int (not a jnp scalar): a module-level jnp constant would
+# initialize the XLA backend at import time, breaking multihost setups
+# that must call jax.distributed.initialize first.
+_HASH_MULT = 1000003
 
 
 @partial(jax.jit, static_argnames=("blank_id",))

@@ -65,12 +65,18 @@ class Config:
     MAX_SEQUENCE_LENGTH: int = 100_000
     USE_MIXED_PRECISION: bool = True
     USE_CHECKPOINTING: bool = True
-    PLATFORM: str = dataclasses.field(
-        default_factory=lambda: jax.default_backend()
-    )
+    # Resolved lazily: reading the backend at import time would
+    # initialize XLA before multihost jax.distributed.initialize runs.
+    _platform: str = ""
+
+    @property
+    def PLATFORM(self) -> str:
+        if not self._platform:
+            self._platform = jax.default_backend()
+        return self._platform
 
     def set_device(self, device: str):
-        self.PLATFORM = device
+        self._platform = device
 
     def set_precision(self, use_mixed_precision: bool):
         self.USE_MIXED_PRECISION = use_mixed_precision

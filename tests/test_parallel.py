@@ -183,3 +183,70 @@ def test_sharded_hsmm_likelihood_gradient_matches(hsmm_sharded_problem):
         lambda x: jnp.sum(hsmm_forward(x, la, lp, ld)[1])
     )(lo)
     np.testing.assert_allclose(g, g0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Two-process multihost smoke test (real jax.distributed local cluster)
+# ---------------------------------------------------------------------------
+
+def test_multihost_two_process_smoke(tmp_path):
+    """Drive initialize_multihost + global_mesh + a sharded forward pass
+    across a real two-process jax.distributed CPU cluster. Exercises the
+    multihost module end-to-end instead of just importing it."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from pytorch_hmm_tpu import core
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env["PYTHONPATH"] = (
+        repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        assert "MULTIHOST_OK" in out, out
+
+    # Both processes must report identical likelihoods, equal to the
+    # single-process oracle on the same deterministic problem.
+    def parse(out):
+        line = [l for l in out.splitlines() if l.startswith("MULTIHOST_OK")][0]
+        return np.asarray([float(x) for x in line.split()[1:]])
+
+    v0, v1 = parse(outs[0]), parse(outs[1])
+    np.testing.assert_allclose(v0, v1, atol=1e-5)
+
+    rng = np.random.default_rng(0)
+    B, T, K = 4, 32, 3
+    log_obs = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    log_a = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K), size=K), jnp.float32))
+    log_pi = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K)), jnp.float32))
+    oracle = core.log_likelihood(log_obs, log_a, log_pi)
+    np.testing.assert_allclose(v0, np.asarray(oracle), atol=1e-4)
