@@ -82,15 +82,25 @@ def _log_eye(k: int, dtype) -> jax.Array:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _forward_block(log_obs, log_a, log_pi, axis_name, vary=()):
+def _forward_block(log_obs, log_a, log_pi, axis_name, vary=(), lengths=None):
     """Per-shard body: exact local log_alpha (B, Tl, K) + log_z (B,).
 
     ``log_obs`` is the local time block; frame indices are globalized via
-    the shard's position on the time axis.
+    the shard's position on the time axis. With ``lengths`` (B,), frames
+    at/past each row's length contribute the semiring *identity* to the
+    block operator — alpha freezes at the final valid frame, so the
+    log_z read at the global last frame is exactly the ragged
+    likelihood and padded-frame alphas repeat the final valid alpha.
     """
     B, Tl, K = log_obs.shape
     idx, p = _axis_info(axis_name)
     t0 = idx * Tl  # global index of the first local frame
+    eye1 = _log_eye(K, log_obs.dtype)
+
+    def pad_mask(t_local):
+        if lengths is None:
+            return None
+        return (t0 + t_local >= lengths)[:, None, None]  # (B, 1, 1)
 
     # Pass 1: local block operator. Global frame 0 contributes the rank-1
     # matrix with rows equal to alpha_0 (same trick as core.fb's
@@ -100,7 +110,9 @@ def _forward_block(log_obs, log_a, log_pi, axis_name, vary=()):
         lo_t = log_obs[:, t_local]  # (B, K)
         m = log_a[None] + lo_t[:, None, :]  # (B, K, K)
         a0 = jnp.broadcast_to((log_pi + lo_t)[:, None, :], (B, K, K))
-        return jnp.where(t0 + t_local == 0, a0, m)
+        m = jnp.where(t0 + t_local == 0, a0, m)
+        pad = pad_mask(t_local)
+        return m if pad is None else jnp.where(pad, eye1[None], m)
 
     def fold(carry, t_local):
         return log_matmul(carry, op(t_local)), None
@@ -129,6 +141,10 @@ def _forward_block(log_obs, log_a, log_pi, axis_name, vary=()):
         from_prev = lo_t + log_matvec(carry, log_a)
         first = log_pi + lo_t
         alpha_t = jnp.where(t0 + t_local == 0, first, from_prev)
+        if lengths is not None:
+            alpha_t = jnp.where(
+                (t0 + t_local >= lengths)[:, None], carry, alpha_t
+            )
         return alpha_t, alpha_t
 
     _, alphas = jax.lax.scan(step, entry, jnp.arange(Tl))
@@ -149,24 +165,34 @@ def _forward_block(log_obs, log_a, log_pi, axis_name, vary=()):
 # Backward
 # ---------------------------------------------------------------------------
 
-def _backward_block(log_obs, log_a, axis_name, vary=()):
+def _backward_block(log_obs, log_a, axis_name, vary=(), lengths=None):
     """Per-shard body: exact local log_beta (B, Tl, K).
 
     Carries the message ``v_t = log_obs_t + beta_t`` so each block only
     needs its own observations: ``v_t = Ã_t ⊗ v_{t+1}`` with
     ``Ã_t[i, j] = log_obs_t[i] + log_a[i, j]`` and ``v_{T-1} = log_obs_{T-1}``.
+
+    With ``lengths`` (B,), each row's boundary condition ``beta = 0``
+    moves to its final valid frame (which gets the rank-1 operator);
+    later frames are semiring identities and emit ``beta = 0``.
     """
     B, Tl, K = log_obs.shape
     idx, p = _axis_info(axis_name)
     t0 = idx * Tl
     T = p * Tl
+    eye1 = _log_eye(K, log_obs.dtype)
+    t_fin = T - 1 if lengths is None else lengths - 1  # scalar or (B,)
 
     def op(t_local):
         lo_t = log_obs[:, t_local]
         m = lo_t[:, :, None] + log_a[None]  # (B, K, K)
-        # Global last frame: rank-1 with columns v_{T-1} = log_obs_{T-1}.
+        # Final valid frame: rank-1 with columns v = log_obs at it.
         last = jnp.broadcast_to(lo_t[:, :, None], (B, K, K))
-        return jnp.where(t0 + t_local == T - 1, last, m)
+        t_g = t0 + t_local
+        if lengths is None:
+            return jnp.where(t_g == t_fin, last, m)
+        m = jnp.where((t_g == t_fin)[:, None, None], last, m)
+        return jnp.where((t_g > t_fin)[:, None, None], eye1[None], m)
 
     def fold(carry, t_local):
         # Right-to-left composition: block = Ã_first ⊗ ... ⊗ Ã_last.
@@ -191,8 +217,12 @@ def _backward_block(log_obs, log_a, axis_name, vary=()):
 
     def step(carry, t_local):
         lo_t = log_obs[:, t_local]
+        at_end = (
+            t0 + t_local == T - 1 if lengths is None
+            else (t0 + t_local >= t_fin)[:, None]
+        )
         beta_t = jnp.where(
-            t0 + t_local == T - 1,
+            at_end,
             jnp.zeros((B, K), log_obs.dtype),
             log_matvec_t(log_a, carry),
         )
@@ -206,7 +236,7 @@ def _backward_block(log_obs, log_a, axis_name, vary=()):
 # Viterbi
 # ---------------------------------------------------------------------------
 
-def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=()):
+def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=(), lengths=None):
     """Per-shard body: exact local Viterbi path (B, Tl) + score (B,).
 
     Same three phases in the (max, +) semiring, plus a fourth *stitch*
@@ -214,10 +244,16 @@ def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=()):
     paths (one per hypothetical exit state), exposes the induced
     exit→entry-predecessor map, and the P maps are composed redundantly on
     every shard to pick each block's true exit state.
+
+    With ``lengths`` (B,), padded frames contribute tropical identities
+    (delta freezes, backpointers are the identity map), so the decoded
+    path repeats each row's final valid state — the same convention as
+    ``core.viterbi``.
     """
     B, Tl, K = log_obs.shape
     idx, p = _axis_info(axis_name)
     t0 = idx * Tl
+    eye1 = _log_eye(K, log_obs.dtype)
 
     max_matmul_b = max_matmul  # shared (max, +) contraction from semiring
 
@@ -225,7 +261,12 @@ def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=()):
         lo_t = log_obs[:, t_local]
         m = log_a[None] + lo_t[:, None, :]
         d0 = jnp.broadcast_to((log_pi + lo_t)[:, None, :], (B, K, K))
-        return jnp.where(t0 + t_local == 0, d0, m)
+        m = jnp.where(t0 + t_local == 0, d0, m)
+        if lengths is None:
+            return m
+        return jnp.where(
+            (t0 + t_local >= lengths)[:, None, None], eye1[None], m
+        )
 
     def fold(carry, t_local):
         return max_matmul_b(carry, op(t_local)), None
@@ -254,6 +295,14 @@ def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=()):
         is0 = t0 + t_local == 0
         delta_t = jnp.where(is0, first, best)
         psi_t = jnp.where(is0, jnp.zeros_like(psi), psi)
+        if lengths is not None:
+            pad = (t0 + t_local >= lengths)[:, None]
+            delta_t = jnp.where(pad, carry, delta_t)
+            # Identity backpointers: each state is its own predecessor,
+            # so the backtrace repeats the final valid state.
+            psi_t = jnp.where(
+                pad, jnp.arange(K, dtype=jnp.int32)[None, :], psi_t
+            )
         return delta_t, (delta_t, psi_t)
 
     delta_last, (_, psis) = jax.lax.scan(step, entry, jnp.arange(Tl))
@@ -324,63 +373,92 @@ def sharded_forward_backward(
     log_a: jax.Array,
     log_pi: jax.Array,
     mesh: Mesh,
+    lengths: jax.Array | None = None,
 ):
     """Exact forward-backward with batch sharded over ``data`` and time
     sharded over ``time``. Returns ``(log_gamma, log_alpha, log_beta,
-    log_z)`` like ``core.forward_backward``.
+    log_z)`` like ``core.forward_backward``. With ``lengths`` (B,),
+    ragged rows are handled exactly inside the kernel (identity-operator
+    padding) — in-range entries match per-sequence unpadded results.
     """
     obs_spec, _, b_spec = _specs(mesh)
 
-    def body(lo, la, lp):
+    def body(lo, la, lp, lens):
         axis = TIME_AXIS
         vary = mesh.axis_names
-        log_alpha, log_z = _forward_block(lo, la, lp, axis, vary)
-        log_beta = _backward_block(lo, la, axis, vary)
+        log_alpha, log_z = _forward_block(lo, la, lp, axis, vary, lens)
+        log_beta = _backward_block(lo, la, axis, vary, lens)
         lg = log_alpha + log_beta
         log_gamma = lg - logsumexp(lg, axis=-1, keepdims=True)
         return log_gamma, log_alpha, log_beta, log_z
 
+    lengths = _full_lengths(log_obs, lengths)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(obs_spec, P(None, None), P(None)),
+        in_specs=(obs_spec, P(None, None), P(None), b_spec),
         out_specs=(obs_spec, obs_spec, obs_spec, b_spec),
-    )(log_obs, log_a, log_pi)
+    )(log_obs, log_a, log_pi, lengths)
 
 
 @partial(jax.jit, static_argnames=("mesh",))
 def sharded_log_likelihood(
-    log_obs: jax.Array, log_a: jax.Array, log_pi: jax.Array, mesh: Mesh
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    mesh: Mesh,
+    lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Sequence log-likelihood ``(B,)`` on a sharded mesh (differentiable —
-    use inside sharded training losses)."""
+    use inside sharded training losses). ``lengths`` (B,) scores ragged
+    rows exactly."""
     obs_spec, _, b_spec = _specs(mesh)
 
-    def body(lo, la, lp):
-        _, log_z = _forward_block(lo, la, lp, TIME_AXIS, mesh.axis_names)
+    def body(lo, la, lp, lens):
+        _, log_z = _forward_block(
+            lo, la, lp, TIME_AXIS, mesh.axis_names, lens
+        )
         return log_z
 
+    lengths = _full_lengths(log_obs, lengths)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(obs_spec, P(None, None), P(None)),
+        in_specs=(obs_spec, P(None, None), P(None), b_spec),
         out_specs=b_spec,
-    )(log_obs, log_a, log_pi)
+    )(log_obs, log_a, log_pi, lengths)
 
 
 @partial(jax.jit, static_argnames=("mesh",))
 def sharded_viterbi(
-    log_obs: jax.Array, log_a: jax.Array, log_pi: jax.Array, mesh: Mesh
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    mesh: Mesh,
+    lengths: jax.Array | None = None,
 ):
-    """Exact Viterbi path ``(B, T)`` + score ``(B,)`` on a sharded mesh."""
+    """Exact Viterbi path ``(B, T)`` + score ``(B,)`` on a sharded mesh.
+    With ``lengths`` (B,), padded frames repeat each row's final valid
+    state (``core.viterbi`` convention)."""
     obs_spec, t_spec, b_spec = _specs(mesh)
 
-    def body(lo, la, lp):
-        return _viterbi_block(lo, la, lp, TIME_AXIS, mesh.axis_names)
+    def body(lo, la, lp, lens):
+        return _viterbi_block(
+            lo, la, lp, TIME_AXIS, mesh.axis_names, lens
+        )
 
+    lengths = _full_lengths(log_obs, lengths)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(obs_spec, P(None, None), P(None)),
+        in_specs=(obs_spec, P(None, None), P(None), b_spec),
         out_specs=(t_spec, b_spec),
-    )(log_obs, log_a, log_pi)
+    )(log_obs, log_a, log_pi, lengths)
+
+
+def _full_lengths(log_obs, lengths):
+    """Materialize ``lengths`` (full length when not given) so the
+    shard_map signature is uniform."""
+    if lengths is None:
+        return jnp.full((log_obs.shape[0],), log_obs.shape[1], jnp.int32)
+    return lengths.astype(jnp.int32)

@@ -250,3 +250,69 @@ def test_multihost_two_process_smoke(tmp_path):
     log_pi = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K)), jnp.float32))
     oracle = core.log_likelihood(log_obs, log_a, log_pi)
     np.testing.assert_allclose(v0, np.asarray(oracle), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Ragged (lengths) support on the sharded kernels
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ragged_sharded_problem(problem):
+    log_obs, log_a, log_pi = problem
+    rng = np.random.default_rng(29)
+    lengths = jnp.asarray([64, 40, 17, 64, 8, 33, 64, 52], jnp.int32)
+    lo = np.asarray(log_obs).copy()
+    for b, n in enumerate(np.asarray(lengths)):
+        lo[b, n:] = rng.normal(scale=40.0, size=lo[b, n:].shape)
+    return jnp.asarray(lo), log_a, log_pi, lengths
+
+
+@pytest.mark.parametrize("data,time", MESHES)
+def test_sharded_forward_backward_ragged(ragged_sharded_problem, data, time):
+    lo, la, lp, lengths = ragged_sharded_problem
+    mesh = make_mesh(data=data, time=time)
+    lg, lal, lb, lz = sharded_forward_backward(lo, la, lp, mesh, lengths)
+    for b, n in enumerate(np.asarray(lengths)):
+        lg0, lal0, lb0, lz0 = core.forward_backward(
+            lo[b:b + 1, :n], la, lp
+        )
+        np.testing.assert_allclose(lz[b], lz0[0], atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lal)[b, :n], np.asarray(lal0)[0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lb)[b, :n], np.asarray(lb0)[0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg)[b, :n], np.asarray(lg0)[0], atol=1e-4
+        )
+
+
+@pytest.mark.parametrize("data,time", MESHES)
+def test_sharded_viterbi_ragged(ragged_sharded_problem, data, time):
+    lo, la, lp, lengths = ragged_sharded_problem
+    mesh = make_mesh(data=data, time=time)
+    s, sc = sharded_viterbi(lo, la, lp, mesh, lengths)
+    s = np.asarray(s)
+    for b, n in enumerate(np.asarray(lengths)):
+        s0, sc0 = core.viterbi(lo[b:b + 1, :n], la, lp)
+        np.testing.assert_array_equal(s[b, :n], np.asarray(s0)[0])
+        np.testing.assert_allclose(sc[b], np.asarray(sc0)[0], atol=1e-4)
+        assert (s[b, n:] == s[b, n - 1]).all()
+
+
+def test_sharded_likelihood_ragged_gradient(ragged_sharded_problem):
+    lo, la, lp, lengths = ragged_sharded_problem
+    mesh = make_mesh(data=2, time=4)
+    g = jax.grad(
+        lambda x: jnp.sum(sharded_log_likelihood(x, la, lp, mesh, lengths))
+    )(lo)
+    g = np.asarray(g)
+    for b, n in enumerate(np.asarray(lengths)):
+        g0 = jax.grad(
+            lambda x: jnp.sum(core.log_likelihood(x, la, lp))
+        )(lo[b:b + 1, :n])
+        np.testing.assert_allclose(g[b, :n], np.asarray(g0)[0], atol=1e-4)
+        # Padded frames never influence the likelihood.
+        if n < lo.shape[1]:
+            assert np.abs(g[b, n:]).max() == 0.0
