@@ -1,11 +1,13 @@
-"""Advanced features demo (reference: ``examples/advanced_features_demo.py``
-and ``examples/v0_2_0_demo.py`` combined): DTW, CTC, neural HMMs,
-semi-Markov models, streaming, metrics, factories.
+"""Advanced features demo (reference: ``examples/advanced_features_demo.py``):
+DTW, CTC, neural HMMs, semi-Markov models, streaming, metrics, factories,
+and an end-to-end integration workflow.
 
-Run: python examples/advanced_features_demo.py
+Run: python examples/advanced_features_demo.py [--quick]
 """
 
 from __future__ import annotations
+
+import argparse
 
 import jax
 import jax.numpy as jnp
@@ -106,7 +108,56 @@ def demo_factories():
         print(f"  {style}: self-loop {float(P[0, 0]):.2f}")
 
 
-if __name__ == "__main__":
+def demo_integration_workflow(quick: bool):
+    """End-to-end TTS evaluation workflow (reference
+    ``advanced_features_demo.py:428-514``): align synthetic speech to a
+    phoneme model, extract durations, compare acoustics with DTW, and
+    score everything with the metrics module."""
+    print("\n=== Integration workflow ===")
+    num_phones, D = 6, 16
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # 1. Ground truth: a phone sequence with known durations + acoustics.
+    true_dur = np.array([8, 14, 6, 18, 10, 12])
+    true_path = np.repeat(np.arange(num_phones), true_dur)
+    T = int(true_dur.sum())
+    phone_means = 2.5 * jax.random.normal(k1, (num_phones, D))
+    ref_mel = phone_means[true_path] + 0.4 * jax.random.normal(k2, (T, D))
+
+    # 2. Forced alignment against an L2R phoneme HMM.
+    model = ph.GaussianHMMLayer(num_phones, D, rngs=nnx.Rngs(0))
+    model.means[...] = phone_means
+    log_obs = model._compute_gaussian_log_probs(ref_mel[None])[0]
+    hmm = ph.HMM(ph.create_left_to_right_matrix(num_phones,
+                                                self_loop_prob=0.85))
+    path, _ = hmm.viterbi_decode(jnp.exp(jax.nn.log_softmax(log_obs, -1)))
+    pred_dur = np.asarray(ph.compute_state_durations(path))
+    print(f"alignment recovered {pred_dur.size}/{true_dur.size} segments")
+
+    # 3. "Synthesized" audio at a different speaking rate -> DTW maps it
+    #    back onto the reference timeline.
+    rate = 1.3
+    synth_T = int(T * rate)
+    idx = np.clip((np.arange(synth_T) / rate).astype(int), 0, T - 1)
+    synth_mel = ref_mel[idx] + 0.2 * jax.random.normal(k3, (synth_T, D))
+    pi, pj, cost = ph.dtw_alignment(synth_mel, ref_mel)
+    print(f"DTW path: {len(np.asarray(pi))} steps, "
+          f"normalized cost {float(cost) / synth_T:.3f}")
+
+    # 4. Metrics roll-up.
+    out = ph.comprehensive_speech_evaluation(
+        {"mfcc": synth_mel[np.asarray(pi)],
+         "durations": jnp.asarray(pred_dur, jnp.float32),
+         "alignment": path},
+        {"mfcc": ref_mel[np.asarray(pj)],
+         "durations": jnp.asarray(true_dur, jnp.float32),
+         "alignment": jnp.asarray(true_path)},
+    )
+    ph.print_evaluation_summary(out)
+
+
+def main(quick: bool = False):
     demo_dtw()
     demo_ctc()
     demo_neural_hmm()
@@ -114,4 +165,11 @@ if __name__ == "__main__":
     demo_streaming()
     demo_metrics()
     demo_factories()
+    demo_integration_workflow(quick)
     print("\nAll demos finished.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    main(parser.parse_args().quick)

@@ -22,7 +22,7 @@ import json
 import sys
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true",
                         help="force the (virtual multi-device) CPU platform")
@@ -31,7 +31,7 @@ def main():
                         help="time frames per device (weak scaling)")
     parser.add_argument("--states", type=int, default=16)
     parser.add_argument("--reps", type=int, default=10)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     import jax
 

@@ -126,6 +126,7 @@ def viterbi_associative(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_pi: jax.Array,
+    lengths: Optional[jax.Array] = None,
 ):
     """Fully parallel Viterbi: O(log T) depth, no sequential loop.
 
@@ -142,6 +143,9 @@ def viterbi_associative(
 
     Best for small K and long T where the sequential scan is
     loop-overhead-bound (~2.3 µs/step on TPU). Static transitions only.
+    ``lengths`` (B,) marks ragged batches: steps into padded frames are
+    tropical identity matrices, freezing the trellis, so paths match the
+    unpadded per-sequence result (padding repeats the final valid state).
     Returns ``(states (B, T) int32, score (B,))``.
     """
     B, T, K = log_obs.shape
@@ -156,6 +160,11 @@ def viterbi_associative(
         (log_pi + log_obs[:, 0])[:, None, None, :], (B, 1, K, K)
     )
     chain = jnp.concatenate([d0, m], axis=1)              # (B, T, K, K)
+    ident_i32 = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    if lengths is not None:
+        pad = jnp.arange(T)[None, :] >= lengths[:, None]  # (B, T)
+        eye = jnp.where(jnp.eye(K, dtype=bool), 0.0, -1e30)
+        chain = jnp.where(pad[:, :, None, None], eye[None, None], chain)
 
     prefixes = jax.lax.associative_scan(max_matmul, chain, axis=1)
     delta = prefixes[:, :, 0, :]                          # (B, T, K)
@@ -164,10 +173,12 @@ def viterbi_associative(
     # (delta[t-1, i] + log_a[i, j]) for t >= 1; psi[0] = identity.
     scores = delta[:, :-1, :, None] + log_a[None, None]   # (B, T-1, K, K)
     psi = jnp.argmax(scores, axis=2).astype(jnp.int32)    # (B, T-1, K)
-    ident = jnp.broadcast_to(
-        jnp.arange(K, dtype=jnp.int32)[None, None, :], (B, 1, K)
-    )
+    ident = jnp.broadcast_to(ident_i32, (B, 1, K))
     psi = jnp.concatenate([ident, psi], axis=1)           # (B, T, K)
+    if lengths is not None:
+        # Padded steps are identity maps so the backtrace passes through
+        # and every frame >= length-1 carries the final valid state.
+        psi = jnp.where(pad[:, :, None], ident_i32, psi)
 
     # Stage 3: suffix compositions of the backpointer maps.
     # s_t = (psi_{t+1} ∘ psi_{t+2} ∘ … ∘ psi_{T-1})(s_{T-1});
@@ -199,6 +210,7 @@ def viterbi_blocked(
     log_pi: jax.Array,
     blocks: int = 8,
     unroll: int = 8,
+    lengths: Optional[jax.Array] = None,
 ):
     """Single-chip time-block-parallel Viterbi.
 
@@ -212,6 +224,8 @@ def viterbi_blocked(
     O(K³/K²) fold work stays cheap.
 
     Exact: identical paths to ``viterbi``. Static (K, K) transitions.
+    ``lengths`` (B,) marks ragged batches (steps into padded frames are
+    identity, so paths repeat each row's final valid state).
     Returns ``(states (B, T), score (B,))``.
     """
     B, T, K = log_obs.shape
@@ -230,6 +244,11 @@ def viterbi_blocked(
         jnp.arange(P)[:, None] * Tb + jnp.arange(Tb)[None, :]
     )  # (P, Tb) global frame index
 
+    # Per-row effective length: frames >= this are identity steps. The
+    # all-full case uses the same mask machinery with eff_len = T.
+    eff_len = (jnp.full((B,), T, jnp.int32) if lengths is None
+               else lengths.astype(jnp.int32))
+
     eye = jnp.where(jnp.eye(K, dtype=bool), 0.0, neg)
 
     # ---- Phase A: per-block operator fold (chain length Tb) ----
@@ -238,10 +257,11 @@ def viterbi_blocked(
         m = log_a[None, None] + lo_t[:, :, None, :]
         rank1 = jnp.broadcast_to(delta0[:, None, None, :], (B, P, K, K))
         # Global frame 0 (block 0 position 0) is the rank-1 seed; padded
-        # frames (t >= T) are identity steps.
+        # frames (t >= eff_len) are identity steps.
         m = jnp.where((t == 0)[None, :, None, None], rank1, m)
         m = jnp.where(
-            (t >= T)[None, :, None, None], eye[None, None], m
+            (t[None, :] >= eff_len[:, None])[:, :, None, None],
+            eye[None, None], m,
         )
         return max_matmul(carry, m), None
 
@@ -268,7 +288,9 @@ def viterbi_blocked(
         )
         first = delta0[:, None, :] + 0.0 * lo_t
         d = jnp.where((t == 0)[None, :, None], first, stepped)
-        d = jnp.where((t >= T)[None, :, None], carry, d)
+        d = jnp.where(
+            (t[None, :] >= eff_len[:, None])[:, :, None], carry, d
+        )
         return d, d
 
     _, deltas = jax.lax.scan(
@@ -288,9 +310,9 @@ def viterbi_blocked(
     psi = jnp.concatenate([ident, psi], axis=1)  # (B, T, K)
     psi = jnp.pad(psi, ((0, 0), (0, Tp - T), (0, 0)), mode="edge")
     # Padded frames: identity maps so the backtrace passes through.
-    pad_mask = jnp.arange(Tp) >= T
+    pad_mask = jnp.arange(Tp)[None, :] >= eff_len[:, None]
     psi = jnp.where(
-        pad_mask[None, :, None], jnp.arange(K, dtype=jnp.int32)[None, None],
+        pad_mask[:, :, None], jnp.arange(K, dtype=jnp.int32)[None, None],
         psi,
     )
     psi_b = psi.reshape(B, P, Tb, K)

@@ -95,53 +95,72 @@ class HMM:
             return obs, True
         raise ValueError(f"observations must be (T,K) or (B,T,K), got {obs.shape}")
 
-    def forward_backward(self, observations: ArrayLike, method: str = "scan"):
+    def forward_backward(self, observations: ArrayLike, method: str = "scan",
+                         lengths: Optional[ArrayLike] = None):
         """Posteriors from per-state observation probabilities.
 
         Returns ``(posterior, alpha, beta)`` in probability space with the
         input's batchedness, mirroring ``HMMPyTorch.forward_backward``
         (``hmm.py:66-130``). ``alpha``/``beta`` are exponentiated log values
         (unnormalized, like the reference's log-space tables exp'd).
+        ``lengths`` (B,) marks ragged batches: padded frames get zero
+        posteriors and results match per-sequence unpadded calls exactly.
         """
         obs, batched = self._batched(observations)
         log_obs = safe_log(obs)
+        lengths = None if lengths is None else jnp.asarray(lengths)
         log_gamma, log_alpha, log_beta, _ = core.forward_backward(
-            log_obs, self.log_P, self.log_p0, method=method
+            log_obs, self.log_P, self.log_p0, method=method,
+            lengths=lengths,
         )
         out = (jnp.exp(log_gamma), jnp.exp(log_alpha), jnp.exp(log_beta))
+        if lengths is not None:
+            # The kernels freeze the carry past each row's length; the
+            # user-facing convention is zero posteriors on padding.
+            valid = (jnp.arange(obs.shape[1])[None, :]
+                     < lengths[:, None])[..., None]
+            out = tuple(jnp.where(valid, o, 0.0) for o in out)
         if not batched:
             out = tuple(o[0] for o in out)
         return out
 
-    def viterbi_decode(self, observations: ArrayLike, method: str = "scan"):
+    def viterbi_decode(self, observations: ArrayLike, method: str = "scan",
+                       lengths: Optional[ArrayLike] = None):
         """Best path + its log score (``hmm.py:132-184``).
 
         ``method``: ``scan`` (sequential, default) | ``associative``
         (O(log T) depth) | ``blocked`` (single-chip time-block parallel)
-        — all exact.
+        — all exact. ``lengths`` (B,) marks ragged batches (padded frames
+        repeat each row's final valid state).
         """
         obs, batched = self._batched(observations)
         log_obs = safe_log(obs)
+        lengths = None if lengths is None else jnp.asarray(lengths)
         if method == "associative":
             states, score = core.viterbi_associative(
-                log_obs, self.log_P, self.log_p0
+                log_obs, self.log_P, self.log_p0, lengths=lengths
             )
         elif method == "blocked":
             from .core.viterbi import viterbi_blocked
 
-            states, score = viterbi_blocked(log_obs, self.log_P, self.log_p0)
+            states, score = viterbi_blocked(log_obs, self.log_P, self.log_p0,
+                                            lengths=lengths)
         else:
-            states, score = core.viterbi(log_obs, self.log_P, self.log_p0)
+            states, score = core.viterbi(log_obs, self.log_P, self.log_p0,
+                                         lengths=lengths)
         if not batched:
             return states[0], score[0]
         return states, score
 
     def compute_likelihood(self, observations: ArrayLike,
-                           method: str = "scan") -> jax.Array:
+                           method: str = "scan",
+                           lengths: Optional[ArrayLike] = None) -> jax.Array:
         """Sequence log-likelihood ``(B,)`` (or scalar if unbatched)."""
         obs, batched = self._batched(observations)
-        ll = core.log_likelihood(safe_log(obs), self.log_P, self.log_p0,
-                                 method=method)
+        ll = core.log_likelihood(
+            safe_log(obs), self.log_P, self.log_p0, method=method,
+            lengths=None if lengths is None else jnp.asarray(lengths),
+        )
         return ll if batched else ll[0]
 
     def sample(self, seq_length: int, batch_size: int = 1,

@@ -264,6 +264,24 @@ class TestAssociativeViterbi:
                 jnp.zeros((1, 4, 3)), jnp.zeros((1, 4, 3, 3)), jnp.zeros(3)
             )
 
+    def test_lengths(self, rng):
+        from pytorch_hmm_tpu.core.viterbi import viterbi_associative
+
+        Bl, Tl, Kl = 3, 40, 6
+        lo = jnp.asarray(rng.normal(size=(Bl, Tl, Kl)), jnp.float32)
+        la = jnp.asarray(
+            np.log(rng.dirichlet(np.ones(Kl), size=Kl)), jnp.float32
+        )
+        lp = jnp.asarray(np.log(rng.dirichlet(np.ones(Kl))), jnp.float32)
+        lengths = jnp.asarray([Tl, 23, 7])
+        s, sc = viterbi_associative(lo, la, lp, lengths=lengths)
+        for b, L in enumerate([Tl, 23, 7]):
+            s_ref, sc_ref = core.viterbi(lo[b:b + 1, :L], la, lp)
+            assert bool(jnp.all(s[b, :L] == s_ref[0])), b
+            # Padding repeats the final valid state.
+            assert bool(jnp.all(s[b, L:] == s[b, L - 1])), b
+            np.testing.assert_allclose(sc[b], sc_ref[0], atol=1e-3)
+
 
 class TestBlockedViterbi:
     """Single-chip time-block-parallel Viterbi must match the scan."""
@@ -281,3 +299,46 @@ class TestBlockedViterbi:
             s1, sc1 = viterbi_blocked(lo, la, lp, blocks=P)
             assert bool(jnp.all(s0 == s1)), (B, T, K, P)
             np.testing.assert_allclose(sc0, sc1, atol=1e-3)
+
+    def test_lengths(self, rng):
+        from pytorch_hmm_tpu.core.viterbi import viterbi_blocked
+
+        Bl, Tl, Kl = 3, 50, 6
+        lo = jnp.asarray(rng.normal(size=(Bl, Tl, Kl)), jnp.float32)
+        la = jnp.asarray(
+            np.log(rng.dirichlet(np.ones(Kl), size=Kl)), jnp.float32
+        )
+        lp = jnp.asarray(np.log(rng.dirichlet(np.ones(Kl))), jnp.float32)
+        lengths = jnp.asarray([Tl, 31, 9])
+        s, sc = viterbi_blocked(lo, la, lp, blocks=4, lengths=lengths)
+        for b, L in enumerate([Tl, 31, 9]):
+            s_ref, sc_ref = core.viterbi(lo[b:b + 1, :L], la, lp)
+            assert bool(jnp.all(s[b, :L] == s_ref[0])), b
+            assert bool(jnp.all(s[b, L:] == s[b, L - 1])), b
+            np.testing.assert_allclose(sc[b], sc_ref[0], atol=1e-3)
+
+
+class TestHMMFacadeLengths:
+    """The user-facing HMM class forwards ``lengths`` on every method."""
+
+    def test_all_methods(self, rng):
+        Kl, Tl = 5, 30
+        P = rng.random((Kl, Kl)) + 0.1
+        hmm = HMM(P / P.sum(1, keepdims=True))
+        obs = jnp.asarray(rng.random((3, Tl, Kl)) + 1e-3, jnp.float32)
+        lengths = jnp.asarray([Tl, 18, 6])
+        post, _, _ = hmm.forward_backward(obs, lengths=lengths)
+        ll = hmm.compute_likelihood(obs, lengths=lengths)
+        for method in ("scan", "associative", "blocked"):
+            states, score = hmm.viterbi_decode(obs, method=method,
+                                               lengths=lengths)
+            for b, L in enumerate([Tl, 18, 6]):
+                s_ref, sc_ref = hmm.viterbi_decode(obs[b, :L])
+                assert bool(jnp.all(states[b, :L] == s_ref)), (method, b)
+                np.testing.assert_allclose(score[b], sc_ref, atol=1e-3)
+        for b, L in enumerate([Tl, 18, 6]):
+            p_ref, _, _ = hmm.forward_backward(obs[b, :L])
+            np.testing.assert_allclose(post[b, :L], p_ref, atol=1e-5)
+            np.testing.assert_allclose(
+                ll[b], hmm.compute_likelihood(obs[b, :L]), rtol=1e-5
+            )
