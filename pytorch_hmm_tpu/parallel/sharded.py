@@ -32,9 +32,9 @@ vectors computed from the same left-to-right fold order over blocks).
 All functions here are meant to be called **inside** ``jax.shard_map``
 (they use ``jax.lax`` collectives with an axis name), via the public
 wrappers at the bottom that set up the shard_map for a ``(data, time)``
-mesh. Padding/`lengths` is not supported on the sharded path — pad to a
-multiple of the block size with neutral frames instead (uniform
-observation probabilities do not change posteriors' argmax or the path).
+mesh. Ragged batches pass ``lengths=`` to the public wrappers: padded
+frames become identity operators inside the kernel, so in-range results
+match the per-sequence unpadded scans exactly.
 """
 
 from __future__ import annotations
