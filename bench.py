@@ -32,7 +32,7 @@ import sys
 import time
 
 FRAME_SEC = 0.01
-TRIALS = 5
+TRIALS = 7
 
 PROBE_WAIT_SEC = 1500
 PROBE_INTERVAL_SEC = 60
@@ -148,7 +148,7 @@ def main():
             states, score = m.viterbi_decode_hsmm(o)
             return jnp.sum(score) + jnp.sum(states[:, -1])
 
-        lat = measure(hsmm_decode, obs, 8)
+        lat = measure(hsmm_decode, obs, 24)
         lines.append(emit(
             "hsmm_decode_rtf_b32_T1000_s10_d20", lat, 32 * 1000 * FRAME_SEC,
             3.5e-3,
@@ -181,7 +181,7 @@ def main():
             carry, states, conf = _beam_step(log_a, lo, n_valid, carry0)
             return jnp.sum(conf) + jnp.sum(states)
 
-        lat = measure(stream_step, chunk, 16)
+        lat = measure(stream_step, chunk, 96)
         lines.append(emit(
             "streaming_chunk_p50_s12_d80_beam", lat, 160 * FRAME_SEC,
             1.1e-3,
@@ -197,6 +197,7 @@ def main():
             num_states=12, observation_dim=80, hidden_dim=256,
             rngs=nnx.Rngs(0),
         )
+        nh.eval()  # inference benchmark: dropout off (no RNG mutation)
         gd_n, st_n = nnx.split(nh)
         obs = jax.random.normal(key, (16, 1000, 80), jnp.float32)
 
@@ -205,7 +206,7 @@ def main():
             gamma, alpha, beta = m(o)
             return jnp.sum(gamma[:, -1]) + jnp.sum(alpha[:, -1])
 
-        lat = measure(neural_fwd, obs, 6)
+        lat = measure(neural_fwd, obs, 16)
         lines.append(emit(
             "neural_hmm_forward_rtf_b16_T1000_s12_h256", lat,
             16 * 1000 * FRAME_SEC, 5.1e-3,
@@ -260,7 +261,7 @@ def main():
         states, scores = m(o, return_log_probs=True)
         return jnp.sum(scores) + jnp.sum(states[:, -1])
 
-    lat = measure(decode_once, obs, 20)
+    lat = measure(decode_once, obs, 64)
     lines.append(emit(
         "mixture_gaussian_hmm_decode_rtf_b32_T1000_s12_c4_d80", lat,
         32 * 1000 * FRAME_SEC, 3.2e-3,

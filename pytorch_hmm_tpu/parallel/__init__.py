@@ -6,7 +6,9 @@ A first-class subsystem the reference entirely lacks (it has no
 * ``mesh`` — declarative ``(data, time)`` mesh construction;
 * ``sharded`` — exact block-parallel forward/backward/Viterbi with
   K-vector boundary-state exchange over the ``time`` axis;
-* ``train`` — sharded NLL training steps (DP batch + SP time).
+* ``train`` — sharded NLL training steps (DP batch + SP time);
+* ``elastic`` — fail-fast supervision (watchdog, heartbeat) and
+  restart-from-checkpoint elastic training.
 """
 
 from .mesh import (
@@ -29,6 +31,13 @@ from .sharded_hsmm import (
 )
 from .multihost import global_mesh, initialize_multihost
 from .train import hmm_loss_parts, make_sharded_train_step, shard_batch
+from .elastic import (
+    ElasticTrainer,
+    NonFiniteLossError,
+    Watchdog,
+    heartbeat,
+    latest_step,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -48,4 +57,9 @@ __all__ = [
     "shard_batch",
     "initialize_multihost",
     "global_mesh",
+    "ElasticTrainer",
+    "NonFiniteLossError",
+    "Watchdog",
+    "heartbeat",
+    "latest_step",
 ]
