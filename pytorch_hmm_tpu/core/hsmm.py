@@ -119,27 +119,35 @@ def hsmm_viterbi(
     s0 = jnp.argmax(delta_T, axis=-1).astype(jnp.int32)
 
     # Per-frame reverse backtrace. Carry: (state of the segment covering
-    # frame t, frames of that segment remaining at and below t).
-    left0 = jnp.take_along_axis(dstar_T, s0[:, None], axis=1)[:, 0] + 1
+    # frame t — as value AND one-hot row — and frames of that segment
+    # remaining at and below t). The one-hot carry turns both per-step
+    # table lookups into multiply-reduces (no lane gathers on the serial
+    # chain — same trick as core.viterbi's backtrace; values stay exact
+    # in f32 for S, D <= 2^24).
+    iota = jnp.arange(S, dtype=jnp.float32)[None, :]
+    oh0 = (iota == s0[:, None].astype(jnp.float32)).astype(jnp.float32)
+    left0 = jnp.sum(dstar_T.astype(jnp.float32) * oh0, axis=1) + 1.0
+    sval0 = s0.astype(jnp.float32)
 
     def back(carry, xs):
-        s, left = carry
+        oh, sval, left = carry
         phi_prev, dstar_prev, t = xs  # tables at frame t-1: (B, S)
-        left_m1 = left - 1
-        switch = left_m1 == 0
-        s_prev = jnp.take_along_axis(phi_prev, s[:, None], axis=1)[:, 0]
-        d_prev = (
-            jnp.take_along_axis(dstar_prev, s_prev[:, None], axis=1)[:, 0] + 1
-        )
-        s_new = jnp.where(switch, s_prev, s)
+        left_m1 = left - 1.0
+        switch = left_m1 == 0.0
+        s_prev = jnp.sum(phi_prev * oh, axis=1)              # (B,)
+        oh_prev = (iota == s_prev[:, None]).astype(jnp.float32)
+        d_prev = jnp.sum(dstar_prev * oh_prev, axis=1) + 1.0
+        oh_new = jnp.where(switch[:, None], oh_prev, oh)
+        s_new = jnp.where(switch, s_prev, sval)
         left_new = jnp.where(switch, d_prev, left_m1)
         if lengths is not None:
             # Frames at/past each row's length are padding: emit the
             # carried final state and leave the carry untouched.
             pad = t >= lengths
-            s_new = jnp.where(pad, s, s_new)
+            oh_new = jnp.where(pad[:, None], oh, oh_new)
+            s_new = jnp.where(pad, sval, s_new)
             left_new = jnp.where(pad, left, left_new)
-        return (s_new, left_new), s
+        return (oh_new, s_new, left_new), sval
 
     # xs at step t are the (t-1)-frame tables; frame 0 gets dummies (the
     # scan's final carry is unused).
@@ -147,12 +155,14 @@ def hsmm_viterbi(
     dstar_shift = jnp.concatenate([dstar[:, :1], dstar[:, :-1]], axis=1)
     _, states = jax.lax.scan(
         back,
-        (s0, left0),
-        (phi_shift.swapaxes(0, 1), dstar_shift.swapaxes(0, 1),
+        (oh0, sval0, left0),
+        (phi_shift.swapaxes(0, 1).astype(jnp.float32),
+         dstar_shift.swapaxes(0, 1).astype(jnp.float32),
          jnp.arange(T)),
         reverse=True,
+        unroll=16,
     )
-    return states.swapaxes(0, 1), score
+    return states.swapaxes(0, 1).astype(jnp.int32), score
 
 
 def _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi: bool):

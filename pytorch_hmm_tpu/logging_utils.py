@@ -22,26 +22,51 @@ __all__ = ["get_logger", "MetricsLogger"]
 _FORMAT = "%(asctime)s %(levelname).1s %(name)s] %(message)s"
 
 
+class _MainProcessFilter(logging.Filter):
+    """Demote sub-INFO records on non-zero processes — lazily.
+
+    The process check runs at *emit* time and only once a backend
+    already exists: calling ``jax.process_index()`` eagerly would
+    initialize the XLA backend, which must not happen at import time
+    (``jax.distributed.initialize`` requires a pristine process).
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        if record.levelno >= logging.WARNING:
+            return True
+        if not getattr(jax._src.xla_bridge, "_backends", None):
+            return True  # backend not up yet: can't be a multi-host run
+        try:
+            return jax.process_index() == 0
+        except RuntimeError:  # pragma: no cover - uninitialized distributed
+            return True
+
+
 def get_logger(
     name: str = "pytorch_hmm_tpu",
     level: int = logging.INFO,
     all_processes: bool = False,
 ) -> logging.Logger:
-    """Framework logger. On multi-host runs, non-zero processes log at
-    WARNING only (pass ``all_processes=True`` to override)."""
+    """Framework logger. On multi-host runs, non-zero processes log
+    WARNING+ only (pass ``all_processes=True`` to override). Safe to
+    call at import time: the multi-host check is deferred to emit time
+    so it never initializes the XLA backend itself."""
     logger = logging.getLogger(name)
     if not logger.handlers:
         handler = logging.StreamHandler(sys.stderr)
         handler.setFormatter(logging.Formatter(_FORMAT, "%H:%M:%S"))
         logger.addHandler(handler)
         logger.propagate = False
-    try:
-        is_main = jax.process_index() == 0
-    except RuntimeError:  # pragma: no cover - uninitialized distributed
-        is_main = True
-    logger.setLevel(
-        level if (is_main or all_processes) else logging.WARNING
+    logger.setLevel(level)
+    has_filter = any(
+        isinstance(f, _MainProcessFilter) for f in logger.filters
     )
+    if all_processes:
+        for f in list(logger.filters):
+            if isinstance(f, _MainProcessFilter):
+                logger.removeFilter(f)
+    elif not has_filter:
+        logger.addFilter(_MainProcessFilter())
     return logger
 
 

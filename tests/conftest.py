@@ -32,3 +32,16 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of distinct programs; keeping them
+    all live has pushed the process past 5 GB and (rarely) segfaulted
+    the XLA CPU compiler under memory pressure. Modules don't share
+    shapes, so this costs nothing.
+    """
+    yield
+    jax.clear_caches()
