@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..core.hsmm import hsmm_forward, hsmm_posteriors, hsmm_viterbi
+from ..core.hsmm import hsmm_forward, hsmm_posteriors
+from ..ops import auto_hsmm_viterbi as hsmm_viterbi
 from ..durations import (
     gamma_duration_log_pmf,
     poisson_duration_log_pmf,

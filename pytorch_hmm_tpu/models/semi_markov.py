@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from ..core.hsmm import hsmm_forward, hsmm_posteriors, hsmm_viterbi
+from ..core.hsmm import hsmm_forward, hsmm_posteriors
+from ..ops import auto_hsmm_viterbi as hsmm_viterbi
 from ..durations import (
     gamma_duration_log_pmf,
     gaussian_duration_log_pmf,

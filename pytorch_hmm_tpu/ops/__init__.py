@@ -30,6 +30,7 @@ from .scan import (
     pallas_viterbi,
 )
 from .fused import fused_gmm_supported, fused_gmm_viterbi
+from .hsmm_smallk import hsmm_smallk_supported, hsmm_smallk_viterbi
 from .smallk import smallk_supported, smallk_viterbi
 
 __all__ = [
@@ -41,8 +42,11 @@ __all__ = [
     "auto_viterbi",
     "auto_log_likelihood",
     "auto_gmm_viterbi",
+    "auto_hsmm_viterbi",
     "fused_gmm_viterbi",
     "fused_gmm_supported",
+    "hsmm_smallk_viterbi",
+    "hsmm_smallk_supported",
     "smallk_viterbi",
     "smallk_supported",
     "pallas_available",
@@ -181,6 +185,31 @@ def auto_log_likelihood(
             return pallas_log_likelihood(log_obs, log_a, log_pi)
         return _pallas_ll_masked(log_obs, log_a, log_pi, lengths)
     return core.log_likelihood(log_obs, log_a, log_pi, lengths)
+
+
+def auto_hsmm_viterbi(
+    log_obs,
+    log_a,
+    log_pi,
+    log_dur,
+    lengths: Optional[jax.Array] = None,
+):
+    """HSMM Viterbi segmentation ``(states, score)`` — the Pallas
+    transposed-layout segment-DP kernel on TPU (the XLA scan is
+    latency-bound at the reference benchmark shape), ``core.hsmm_viterbi``
+    elsewhere. Paths/scores are identical on both paths, tie-breaks
+    included. Replaces (performance-wise) reference ``hsmm.py:245-354``."""
+    B, _, S = log_obs.shape
+    D = log_dur.shape[-1]
+    if (
+        not _PALLAS_OPT_OUT
+        and jax.default_backend() == "tpu"
+        and hsmm_smallk_supported(S, D, B)
+    ):
+        return hsmm_smallk_viterbi(log_obs, log_a, log_pi, log_dur, lengths)
+    from ..core.hsmm import hsmm_viterbi
+
+    return hsmm_viterbi(log_obs, log_a, log_pi, log_dur, lengths)
 
 
 def auto_gmm_viterbi(

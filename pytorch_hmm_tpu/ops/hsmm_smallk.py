@@ -1,0 +1,524 @@
+"""Transposed-layout Pallas HSMM (explicit-duration) Viterbi decode.
+
+The XLA segment-DP scan (``core/hsmm.py``) is latency-bound at the
+reference's benchmark shape (B=32, T=1000, S=10, D=20): each of the 1000
+sequential steps does only ~6K elements of work, so while-loop dispatch
+and carry round-trips dominate. This kernel runs the whole recursion
+inside one Pallas program with the same layout tricks as
+``smallk.py``:
+
+* **states ride SUBLANES, batch rides LANES** — every per-frame tensor is
+  a handful of vregs; reductions over durations and predecessor states
+  are halving trees of whole-vreg ops with zero shuffles;
+* the (D, S)-slot **ring buffers live in VMEM** for the whole sequence
+  (the scan carry never round-trips through HBM);
+* observation frames stream HBM→VMEM double-buffered; the per-frame
+  duration/predecessor **argmax tables (dstar, phi) stream VMEM→HBM**
+  behind the compute;
+* frame loops are **statically unrolled** per 128-frame chunk; the
+  early frames that need the ``duration ≤ t+1`` mask are statically
+  peeled into the first chunk, so steady-state frames run zero masks.
+
+Numerics match ``core.hsmm_viterbi`` bit-for-bit: identical operand
+grouping in the score accumulation (max-reductions are exactly
+associative, running sums are kept in the same order), identical
+``_NEG`` clipping, and all argmax ties break toward the lowest index.
+
+Replaces (performance-wise) the hot loops of reference
+``hsmm.py:245-354`` and ``semi_markov.py:455-570``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan import (
+    LANES,
+    _NEG,
+    _ceil_to,
+    _next_pow2,
+    _pad_to,
+    _use_interpret,
+)
+from .smallk import _frame_loop, _k_pad, _tree_max
+
+__all__ = ["hsmm_smallk_viterbi", "hsmm_smallk_supported"]
+
+# The (Ss, Ss, Bp) predecessor tree stops being cheap beyond this.
+_MAX_S = 32
+# Durations must fit the statically-peeled first chunk (masked frames
+# are exactly t < D-1) and the VMEM ring buffers.
+_MAX_D = 128
+_MAX_B = 256
+_T_CHUNK = 128
+# lo/dstar/phi double buffers (3 × 2 × tc) + 2 ring buffers.
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _d_pad(D: int) -> int:
+    """Duration-slot padding: power of two ≥ D (for the halving trees)."""
+    return max(_next_pow2(D), 8)
+
+
+def hsmm_smallk_supported(
+    num_states: int, max_duration: int, batch: int
+) -> bool:
+    if (
+        num_states > _MAX_S
+        or max_duration > _MAX_D
+        or batch > _MAX_B
+    ):
+        return False
+    Ss, Ds = _k_pad(num_states), _d_pad(max_duration)
+    Bp = _ceil_to(batch, LANES)
+    vmem = (3 * 2 * _T_CHUNK + 2 * Ds) * Ss * Bp * 4
+    return vmem <= _VMEM_BUDGET
+
+
+def _max_idx_tree(vals, idxs):
+    """(max, argmax) over axis 0; ties break toward the lowest index
+    (matching ``jnp.argmax``). The compare is lexicographic on
+    ``(value, -index)`` — a plain ``>=`` keeps the lowest index only
+    within a bracket, not globally (e.g. ties among {1, 2, 3} with a
+    -inf diagonal at 0 pair (0, 2) first and wrongly return 2)."""
+    w = vals.shape[0]
+    while w > 1:
+        h = w // 2
+        lv, rv = vals[:h], vals[h:w]
+        li, ri = idxs[:h], idxs[h:w]
+        take = (lv > rv) | ((lv == rv) & (li <= ri))
+        vals = jnp.where(take, lv, rv)
+        idxs = jnp.where(take, li, ri)
+        w = h
+    return vals[0], idxs[0]
+
+
+def _hsmm_trellis_kernel(
+    lo_hbm,     # (Tp, Ss, Bp) HBM — transposed log-obs
+    la_ref,     # (Ss, Ss) VMEM — log_a[s', s], _NEG padded
+    lpi_ref,    # (Ss, Bp) VMEM — log prior broadcast over lanes
+    ld_ref,     # (Ds, Ss) VMEM — log_dur[j, s] (duration j+1), _NEG padded
+    tt_ref,     # (1, Bp) VMEM int32 — per-lane true length
+    ds_hbm,     # (Tp, Ss, Bp) HBM out — f32 best-duration indices
+    phi_hbm,    # (Tp, Ss, Bp) HBM out — f32 best-predecessor indices
+    dfin_ref,   # (Ss, Bp) VMEM out — delta at each lane's final frame
+    dsfin_ref,  # (Ss, Bp) VMEM out — dstar at each lane's final frame
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    D: int,
+    ragged: bool,
+):
+    Ss, Bp = lpi_ref.shape
+    Ds = ld_ref.shape[0]
+    tc = t_chunk
+    n_chunks = t_total // tc
+    tail = t_true - (n_chunks - 1) * tc
+
+    def body(lo_buf, ds_buf, phi_buf, mu_ref, c_ref,
+             in_sems, ds_sems, phi_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(chunk * tc, tc)], lo_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def ds_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                ds_buf.at[slot], ds_hbm.at[pl.ds(chunk * tc, tc)],
+                ds_sems.at[slot],
+            )
+
+        def phi_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                phi_buf.at[slot], phi_hbm.at[pl.ds(chunk * tc, tc)],
+                phi_sems.at[slot],
+            )
+
+        in_dma(0, 0).start()
+
+        # Ring init — slot j will hold mu(t-1-j) / C(t-1-j) when frame t
+        # runs: mu(-1) = log_pi (a segment starting at frame 0), all
+        # other slots -inf (durations that would start before frame 0).
+        # Rows ≥ D are permanent -inf padding (never shifted into).
+        mu_ref[pl.ds(0, 1)] = lpi_ref[:, :][None]
+        mu_ref[pl.ds(1, Ds - 1)] = jnp.full((Ds - 1, Ss, Bp), _NEG,
+                                            jnp.float32)
+        c_ref[:, :, :] = jnp.zeros((Ds, Ss, Bp), jnp.float32)
+
+        la = la_ref[:, :]
+        ld3 = ld_ref[:, :][:, :, None]  # (Ds, Ss, 1)
+        iota_j2 = jax.lax.broadcasted_iota(jnp.int32, (Ds, Ss), 0)
+        iota_jf = iota_j2.astype(jnp.float32)[:, :, None]   # (Ds, Ss, 1)
+        iota_sf = jax.lax.broadcasted_iota(
+            jnp.int32, (Ss, Ss), 0
+        ).astype(jnp.float32)[:, :, None]                   # (Ss, Ss, 1)
+        ttf = tt_ref[:, :].astype(jnp.float32) if ragged else None
+
+        def frames(c, slot, carry, chunk0: bool, n_frames: int):
+            """Trellis frames of one chunk. ``c`` may be traced (middle
+            chunks); it is only used for the ragged length compare."""
+
+            def step(tf, carry):
+                c_run, dfin, dsfin = carry
+                lo_t = lo_buf[slot, tf]          # (Ss, Bp)
+                c_t = c_run + lo_t               # running cumsum C(t)
+
+                # Same operand grouping as core: (ld + (C(t) - C(t-d)))
+                # + mu(t-d); max-trees are exactly associative so the
+                # reduction order is free.
+                g1 = c_t[None] - c_ref[:, :, :]
+                scores = (ld3 + g1) + mu_ref[:, :, :]
+                if chunk0:
+                    if isinstance(tf, int):
+                        if tf < D - 1:
+                            scores = jnp.where(
+                                iota_j2[:, :, None] <= tf, scores, _NEG
+                            )
+                    else:  # interpret mode: rolled loop, traced tf
+                        scores = jnp.where(
+                            iota_j2[:, :, None] <= tf, scores, _NEG
+                        )
+
+                idx0 = jnp.broadcast_to(iota_jf, scores.shape)
+                val, dstar = _max_idx_tree(scores, idx0)     # (Ss, Bp)
+
+                trans = la[:, :, None] + val[:, None, :]     # (s', s, b)
+                sidx = jnp.broadcast_to(iota_sf, trans.shape)
+                mu_t, phi = _max_idx_tree(trans, sidx)       # (Ss, Bp)
+
+                ds_buf[slot, pl.ds(tf, 1)] = dstar[None]
+                phi_buf[slot, pl.ds(tf, 1)] = phi[None]
+
+                if ragged:
+                    alive = (c * tc + tf) < ttf              # (1, Bp)
+                    dfin = jnp.where(alive, val, dfin)
+                    dsfin = jnp.where(alive, dstar, dsfin)
+                else:
+                    dfin, dsfin = val, dstar
+
+                # Shift the rings: slot j ← slot j-1, slot 0 ← frame t.
+                if D > 1:
+                    mu_keep = mu_ref[pl.ds(0, D - 1)]
+                    c_keep = c_ref[pl.ds(0, D - 1)]
+                    mu_ref[pl.ds(1, D - 1)] = mu_keep
+                    c_ref[pl.ds(1, D - 1)] = c_keep
+                mu_ref[pl.ds(0, 1)] = mu_t[None]
+                c_ref[pl.ds(0, 1)] = c_t[None]
+                return (c_t, dfin, dsfin)
+
+            return _frame_loop(0, n_frames, step, carry)
+
+        def run_chunk(c, r_slot, carry, chunk0: bool, n_frames: int):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, r_slot + 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, r_slot).wait()
+
+            @pl.when(r_slot >= 2)
+            def _():
+                ds_dma(slot, r_slot - 2).wait()
+                phi_dma(slot, r_slot - 2).wait()
+
+            carry = frames(c, slot, carry, chunk0, n_frames)
+            ds_dma(slot, r_slot).start()
+            phi_dma(slot, r_slot).start()
+            return carry
+
+        zero = jnp.zeros((Ss, Bp), jnp.float32)
+        carry0 = (zero, jnp.full((Ss, Bp), _NEG, jnp.float32), zero)
+        if n_chunks == 1:
+            carry = run_chunk(0, 0, carry0, True, tail)
+        else:
+            carry = run_chunk(0, 0, carry0, True, tc)
+            if n_chunks > 2:
+                def chunk_body(c, carry):
+                    return run_chunk(c, c, carry, False, tc)
+
+                carry = jax.lax.fori_loop(
+                    1, n_chunks - 1, chunk_body, carry
+                )
+            carry = run_chunk(
+                n_chunks - 1, n_chunks - 1, carry, False, tail
+            )
+        _, dfin, dsfin = carry
+        dfin_ref[:, :] = dfin
+        dsfin_ref[:, :] = dsfin
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            ds_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+            phi_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        ds_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+        phi_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        lo_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        ds_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        phi_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        mu_ref=pltpu.VMEM((Ds, Ss, Bp), jnp.float32),
+        c_ref=pltpu.VMEM((Ds, Ss, Bp), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        ds_sems=pltpu.SemaphoreType.DMA((2,)),
+        phi_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _hsmm_backtrace_kernel(
+    dss_hbm,    # (Tp, Ss, Bp) HBM — dstar SHIFTED (row t holds frame t-1)
+    phs_hbm,    # (Tp, Ss, Bp) HBM — phi SHIFTED
+    dfin_ref,   # (Ss, Bp) VMEM — delta at each lane's final frame
+    dsfin_ref,  # (Ss, Bp) VMEM — dstar at each lane's final frame
+    tt_ref,     # (1, Bp) VMEM int32
+    st_hbm,     # (Tp, Bp) HBM out — f32 state per frame
+    score_ref,  # (1, Bp) VMEM out
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    ragged: bool,
+):
+    Ss, Bp = dfin_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    last_c = n_chunks - 1
+    tail = t_true - last_c * tc
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Ss, Bp), 0).astype(
+        jnp.float32
+    )
+
+    def body(ds_buf, phi_buf, st_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                dss_hbm.at[pl.ds(chunk * tc, tc)], ds_buf.at[slot],
+                in_sems.at[2 * slot],
+            )
+
+        def in_dma_phi(slot, chunk):
+            return pltpu.make_async_copy(
+                phs_hbm.at[pl.ds(chunk * tc, tc)], phi_buf.at[slot],
+                in_sems.at[2 * slot + 1],
+            )
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                st_buf.at[slot], st_hbm.at[pl.ds(chunk * tc, tc)],
+                out_sems.at[slot],
+            )
+
+        dfin = dfin_ref[:, :]
+        best = _tree_max(dfin)[None, :]                    # (1, Bp)
+        score_ref[:, :] = best
+        # Lowest-index argmax (ties → smallest state), like jnp.argmax.
+        state = _tree_max(
+            jnp.where(dfin == best, -iota, float(-Ss))
+        )[None, :] * -1.0                                  # (1, Bp)
+        oh = (iota == state).astype(jnp.float32)           # (Ss, Bp)
+        # Frames of the final segment at/below the final frame. dstar
+        # values are ≥ 0 and oh is one-hot, so max == the selected value.
+        left = _tree_max(dsfin_ref[:, :] * oh)[None, :] + 1.0
+        ttf = tt_ref[:, :].astype(jnp.float32) if ragged else None
+
+        in_dma(0, last_c).start()
+        in_dma_phi(0, last_c).start()
+
+        def frames(c, slot, carry, n_frames: int):
+            def step(i, carry):
+                oh, sval, left = carry
+                tf = n_frames - 1 - i
+                st_buf[slot, pl.ds(tf, 1)] = sval
+                # Shifted tables: row tf holds frame (c*tc + tf - 1).
+                phi_prev = phi_buf[slot, tf]               # (Ss, Bp)
+                ds_prev = ds_buf[slot, tf]
+                left_m1 = left - 1.0
+                switch = left_m1 == 0.0                    # (1, Bp)
+                s_prev = _tree_max(phi_prev * oh)[None, :]
+                oh_prev = (iota == s_prev).astype(jnp.float32)
+                d_prev = _tree_max(ds_prev * oh_prev)[None, :] + 1.0
+                oh_new = jnp.where(switch, oh_prev, oh)
+                s_new = jnp.where(switch, s_prev, sval)
+                left_new = jnp.where(switch, d_prev, left_m1)
+                if ragged:
+                    pad = (c * tc + tf) >= ttf
+                    oh_new = jnp.where(pad, oh, oh_new)
+                    s_new = jnp.where(pad, sval, s_new)
+                    left_new = jnp.where(pad, left, left_new)
+                return (oh_new, s_new, left_new)
+
+            return _frame_loop(0, n_frames, step, carry)
+
+        def run_chunk(c, r_slot, carry, n_frames: int):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, last_c - r_slot - 1).start()
+                in_dma_phi((r_slot + 1) % 2, last_c - r_slot - 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, last_c - r_slot).wait()
+            in_dma_phi(slot, last_c - r_slot).wait()
+
+            @pl.when(r_slot >= 2)
+            def _():
+                out_dma(slot, last_c - r_slot + 2).wait()
+
+            carry = frames(c, slot, carry, n_frames)
+            out_dma(slot, last_c - r_slot).start()
+            return carry
+
+        carry = (oh, state, left)
+        if n_chunks == 1:
+            run_chunk(0, 0, carry, tail)
+        else:
+            carry = run_chunk(last_c, 0, carry, tail)
+            if n_chunks > 2:
+                def chunk_body(r, carry):
+                    return run_chunk(last_c - r, r, carry, tc)
+
+                carry = jax.lax.fori_loop(1, n_chunks - 1, chunk_body,
+                                          carry)
+            run_chunk(0, last_c, carry, tc)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((last_c - 1) % 2, 1).wait()
+
+        out_dma(last_c % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        ds_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        phi_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        st_buf=pltpu.VMEM((2, t_chunk, Bp), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((4,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk",))
+def hsmm_smallk_viterbi(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    log_dur: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    t_chunk: int = _T_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact batched HSMM Viterbi segmentation on the Pallas path.
+
+    Args/returns match ``core.hsmm_viterbi``: ``(B, T, S)`` log-obs,
+    ``(S, S)`` no-self-loop transitions, ``(S,)`` prior, ``(S, D)``
+    duration log-pmf, optional ``(B,)`` lengths; returns
+    ``(states (B, T) int32, score (B,))``. Paths and scores are
+    identical to ``core.hsmm_viterbi`` (tie-breaks toward the lowest
+    duration/state index; padded frames repeat each row's final valid
+    state).
+    """
+    B, T, S = log_obs.shape
+    D = log_dur.shape[-1]
+    if not hsmm_smallk_supported(S, D, B):
+        raise ValueError(
+            f"hsmm_smallk_viterbi requires S <= {_MAX_S}, D <= {_MAX_D},"
+            f" B <= {_MAX_B} (got S={S}, D={D}, B={B})"
+        )
+    Ss = _k_pad(S)
+    Ds = _d_pad(D)
+    Bp = _ceil_to(B, LANES)
+    Tp = _ceil_to(T, t_chunk)
+
+    # (B, T, S) -> (T, S, B). State padding is 0 (the per-state cumsum
+    # must stay finite); padded states are suppressed through the -inf
+    # padding of log_dur / log_a / log_pi instead.
+    lo_t = jnp.transpose(log_obs.astype(jnp.float32), (1, 2, 0))
+    lo_t = _pad_to(lo_t, Ss, 1, 0.0)
+    lo_t = _pad_to(lo_t, Bp, 2, 0.0)
+    lo_t = _pad_to(lo_t, Tp, 0, 0.0)
+
+    la = jnp.maximum(log_a.astype(jnp.float32), _NEG)
+    la = _pad_to(_pad_to(la, Ss, 0, _NEG), Ss, 1, _NEG)
+    lpi = jnp.broadcast_to(
+        _pad_to(log_pi.astype(jnp.float32), Ss, 0, _NEG)[:, None],
+        (Ss, Bp),
+    )
+    ld = jnp.maximum(log_dur.astype(jnp.float32).T, _NEG)  # (D, S)
+    ld = _pad_to(_pad_to(ld, Ds, 0, _NEG), Ss, 1, _NEG)
+    if lengths is None:
+        tt = jnp.full((1, Bp), T, jnp.int32)
+    else:
+        tt = _pad_to(lengths.astype(jnp.int32)[None, :], Bp, 1, T)
+
+    dstar, phi, dfin, dsfin = pl.pallas_call(
+        functools.partial(
+            _hsmm_trellis_kernel,
+            t_chunk=t_chunk,
+            t_total=Tp,
+            t_true=T,
+            D=D,
+            ragged=lengths is not None,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Ss, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Ss, Bp), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(lo_t, la, lpi, ld, tt)
+
+    # The backtrace at frame t consumes the tables at frame t-1; shift
+    # by one so the kernel reads aligned rows (row 0's duplicate is a
+    # dummy — the t=0 update result is discarded, as in core).
+    dss = jnp.concatenate([dstar[:1], dstar[:-1]], axis=0)
+    phs = jnp.concatenate([phi[:1], phi[:-1]], axis=0)
+
+    st, score = pl.pallas_call(
+        functools.partial(
+            _hsmm_backtrace_kernel,
+            t_chunk=t_chunk,
+            t_total=Tp,
+            t_true=T,
+            ragged=lengths is not None,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(dss, phs, dfin, dsfin, tt)
+
+    states = st[:T, :B].T.astype(jnp.int32)
+    return states, score[0, :B]

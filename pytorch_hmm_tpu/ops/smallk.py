@@ -173,7 +173,11 @@ def _trellis_psi_kernel(
                     h = w // 2
                     lv, rv = vals[:, :h], vals[:, h:w]
                     li, ri = idxs[:, :h], idxs[:, h:w]
-                    take = lv >= rv          # ties -> lowest index
+                    # Lexicographic on (value, -index): a plain >= only
+                    # keeps the lowest index within a bracket, not
+                    # globally (ties among {1,2,3} with a -inf entry at
+                    # 0 pair (0,2) first and wrongly return 2).
+                    take = (lv > rv) | ((lv == rv) & (li <= ri))
                     vals = jnp.where(take, lv, rv)
                     idxs = jnp.where(take, li, ri)
                     w = h

@@ -261,6 +261,21 @@ def test_smallk_viterbi_ties_match_argmax():
     assert bool(jnp.all(s_p == s_0))
 
 
+def test_smallk_viterbi_bracketed_ties_match_argmax():
+    """Ties among {1..K-1} with a -inf diagonal: the psi halving tree
+    must still return the globally lowest predecessor index (a plain
+    ``>=`` bracket tree pairs (0, 2) first and wrongly returned 2)."""
+    K = 4
+    a = np.full((K, K), 1.0 / (K - 1))
+    np.fill_diagonal(a, 0.0)
+    la = jnp.asarray(np.log(a + 1e-300), jnp.float32)
+    lp = jnp.full((K,), -jnp.log(float(K)))
+    lo = jnp.zeros((2, 50, K), jnp.float32)
+    s_p, _ = smallk_viterbi(lo, la, lp)
+    s_0, _ = core.viterbi(lo, la, lp)
+    assert bool(jnp.all(s_p == s_0))
+
+
 def test_smallk_viterbi_lengths():
     lo, la, lp = _k_problem(5, 300, 9, seed=3)
     lengths = jnp.asarray([300, 31, 164, 1, 129], jnp.int32)
