@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from .. import core
 from ..core.semiring import logsumexp
+from ..ops import auto_forward_backward, auto_log_likelihood, auto_viterbi
 from .common import TrainMode
 
 __all__ = [
@@ -271,11 +271,85 @@ class NeuralObservationModel(TrainMode):
 
         obs_feats = self._trunk(observations)  # (B, T, H)
         if state_indices is None:
-            emb = self.state_embedding(jnp.arange(self.num_states))  # (S, H)
-            feats = obs_feats[:, :, None, :] + emb[None, None]  # (B, T, S, H)
-            return self._head_log_prob(feats, observations[:, :, None, :])
+            return self._all_state_log_probs(obs_feats, observations)
         emb = self.state_embedding(state_indices)  # (B, T, H)
         return self._head_log_prob(obs_feats + emb, observations)
+
+    def _all_state_log_probs(
+        self, obs_feats: jax.Array, observations: jax.Array
+    ) -> jax.Array:
+        """``(B, T, S)`` head scores for every state without the
+        ``(B, T, S, H)`` feature tensor the broadcast form materializes
+        (~200 MB at the benchmark shape, plus S redundant head passes).
+
+        The linear heads distribute over ``obs_feats + state_emb``:
+        ``W(f + e) + b = (Wf + b) + We``, so per-state head outputs are
+        a shared observation part plus a tiny per-state table. The
+        Gaussian quadratic then expands into three ``(B·T, D) × (D, S)``
+        contractions that run on the MXU::
+
+            Σ_d (u - m_s)² w w_s = (u²w)·w_s − 2(uw)·(m_s w_s) + w·(m_s² w_s)
+
+        with ``u = x − mean_o``, ``w = exp(−lv_o)``, per-state
+        ``m_s, w_s``. Same math as the reference's per-state loop
+        (``neural.py:198-208``), reassociated for hardware.
+        """
+        D = self.observation_dim
+        S = self.num_states
+        x = observations
+        emb = self.state_embedding(jnp.arange(S))          # (S, H)
+        if self.model_type == "gaussian":
+            mo = self.mean_net(obs_feats)                  # (B,T,D) + bias
+            lvo = self.logvar_net(obs_feats)
+            ms = emb @ self.mean_net.kernel[...]           # (S,D), no bias
+            lvs = emb @ self.logvar_net.kernel[...]
+            u = x - mo
+            wo = jnp.exp(-lvo)
+            ws = jnp.exp(-lvs)                             # (S, D)
+            # HIGHEST: default TPU matmul runs bf16 passes — ~4e-3
+            # relative error on |log-prob| ~ 50 is enough to flip
+            # Viterbi paths. Full-f32 here costs ~30 MFLOP, nothing.
+            hi = jax.lax.Precision.HIGHEST
+            mahal = (
+                jnp.dot(u * u * wo, ws.T, precision=hi)
+                - 2.0 * jnp.dot(u * wo, (ms * ws).T, precision=hi)
+                + jnp.dot(wo, (ms * ms * ws).T, precision=hi)
+            )                                              # (B, T, S)
+            log_norm = -0.5 * (
+                D * jnp.log(2.0 * jnp.pi)
+                + jnp.sum(lvo, axis=-1, keepdims=True)
+                + jnp.sum(lvs, axis=-1)[None, None]
+            )
+            return log_norm - 0.5 * mahal
+        # mixture
+        C = self.num_components
+        B, T = x.shape[:2]
+        w_log = jax.nn.log_softmax(
+            self.weight_net(obs_feats)[:, :, None, :]
+            + (emb @ self.weight_net.kernel[...])[None, None],
+            axis=-1,
+        )                                                  # (B, T, S, C)
+        mo = self.mean_net(obs_feats).reshape(B, T, C, D)
+        lvo = self.logvar_net(obs_feats).reshape(B, T, C, D)
+        ms = (emb @ self.mean_net.kernel[...]).reshape(S, C, D)
+        lvs = (emb @ self.logvar_net.kernel[...]).reshape(S, C, D)
+        u = x[:, :, None, :] - mo                          # (B, T, C, D)
+        wo = jnp.exp(-lvo)
+        ws = jnp.exp(-lvs)                                 # (S, C, D)
+        hi = jax.lax.Precision.HIGHEST
+        mahal = (
+            jnp.einsum("btcd,scd->btsc", u * u * wo, ws, precision=hi)
+            - 2.0 * jnp.einsum("btcd,scd->btsc", u * wo, ms * ws,
+                               precision=hi)
+            + jnp.einsum("btcd,scd->btsc", wo, ms * ms * ws, precision=hi)
+        )
+        log_norm = -0.5 * (
+            D * jnp.log(2.0 * jnp.pi)
+            + jnp.sum(lvo, axis=-1)[:, :, None, :]         # (B, T, 1, C)
+            + jnp.sum(lvs, axis=-1)[None, None]            # (S, C)
+        )
+        comp = log_norm - 0.5 * mahal                      # (B, T, S, C)
+        return logsumexp(w_log + comp, axis=-1)
 
     def __call__(self, observations, state_indices=None):
         return self.log_probs(observations, state_indices)
@@ -382,7 +456,7 @@ class NeuralHMM(TrainMode):
         B, T, _ = observations.shape
         log_obs = self.observation_model.log_probs(observations)
         log_a = self._log_transitions(context, B, T)
-        log_gamma, log_alpha, log_beta, _ = core.forward_backward(
+        log_gamma, log_alpha, log_beta, _ = auto_forward_backward(
             log_obs, log_a, self._log_pi()
         )
         return jnp.exp(log_gamma), jnp.exp(log_alpha), jnp.exp(log_beta)
@@ -399,7 +473,7 @@ class NeuralHMM(TrainMode):
         B, T, _ = observations.shape
         log_obs = self.observation_model.log_probs(observations)
         log_a = self._log_transitions(context, B, T)
-        return core.viterbi(log_obs, log_a, self._log_pi())
+        return auto_viterbi(log_obs, log_a, self._log_pi())
 
     def compute_likelihood(
         self,
@@ -411,7 +485,7 @@ class NeuralHMM(TrainMode):
         B, T, _ = observations.shape
         log_obs = self.observation_model.log_probs(observations)
         log_a = self._log_transitions(context, B, T)
-        return core.log_likelihood(log_obs, log_a, self._log_pi())
+        return auto_log_likelihood(log_obs, log_a, self._log_pi())
 
     def compute_loss(
         self,

@@ -39,6 +39,7 @@ __all__ = [
     "pallas_viterbi",
     "pallas_log_likelihood",
     "auto_forward",
+    "auto_forward_backward",
     "auto_viterbi",
     "auto_log_likelihood",
     "auto_gmm_viterbi",
@@ -153,6 +154,22 @@ def auto_forward(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
     if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
         return pallas_forward(log_obs, log_a, log_pi, lengths)
     return core.forward_log(log_obs, log_a, log_pi, lengths)
+
+
+def auto_forward_backward(
+    log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None
+):
+    """``(log_gamma, log_alpha, log_beta, log_z)`` — the Pallas forward
+    and backward kernels on TPU (static ``(K, K)`` transitions), the XLA
+    scans elsewhere / for time-varying transitions. The posterior
+    normalization matches ``core.forward_backward`` exactly."""
+    if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
+        log_alpha, log_z = pallas_forward(log_obs, log_a, log_pi, lengths)
+        log_beta = pallas_backward(log_obs, log_a, lengths)
+        lg = log_alpha + log_beta
+        log_gamma = lg - core.semiring.logsumexp(lg, axis=-1, keepdims=True)
+        return log_gamma, log_alpha, log_beta, log_z
+    return core.forward_backward(log_obs, log_a, log_pi, lengths)
 
 
 def auto_viterbi(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
