@@ -1,0 +1,374 @@
+"""Pallas streaming-chunk decoders (greedy + fixed-width beam).
+
+The streaming processor's chunk step is a ``lax.scan`` over ~160 frames
+whose per-frame body is a handful of *tiny* ops (a row gather from the
+transition matrix, an argmax over S states, a top-k over a width-8
+beam). On TPU each tiny XLA op costs ~100 ns of issue latency on the
+serial chain, so the chunk step measured ~2.7 µs/frame (~0.43 ms per
+chunk) regardless of ``unroll`` — the chain is latency-bound, not
+loop-bound. These kernels run the whole chunk inside one Pallas
+program where the same steps are register-level vector ops:
+
+* hypotheses ride SUBLANES, states ride LANES; the carried hypothesis
+  states are lane one-hots, so the per-frame transition-row "gather"
+  is one exact ``(W, S) @ (S, S)`` one-hot matmul on the MXU;
+* the per-frame top-k is W rounds of (lane max, lowest-index lane
+  argmin over an availability mask, mask-out) — matching
+  ``jax.lax.top_k``'s descending order and index-ascending tie-breaks;
+* the beam path history is selected by parent via masked sublane max
+  trees and shifted with a single lane roll (history right-aligned in
+  the padded lane tile) — no per-frame (W, H) gathers;
+* the scalar ``path_len`` / ``has_prev`` carries never enter the
+  kernel: they evolve deterministically (``min(len + n_valid, H)``),
+  so only the statically-peeled first frame consults them.
+
+Numerics and tie-breaks match the XLA reference steps in
+``streaming.py`` bit-for-bit (one-hot matmuls sum exactly one term;
+max/select trees are exactly associative; operand grouping is kept).
+
+Replaces (performance-wise) the hot loops of reference
+``streaming.py:267-377``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan import LANES, SUBLANES, _NEG, _ceil_to, _pad_to, _use_interpret
+from .smallk import _frame_loop
+
+__all__ = [
+    "pallas_greedy_chunk",
+    "pallas_beam_chunk",
+    "stream_chunk_supported",
+]
+
+_MAX_T = 1024   # frames per chunk (fully unrolled on hardware)
+_MAX_W = 8      # beam hypotheses (one sublane tile)
+_MAX_H = 1024   # path-history length (lane tiles)
+
+
+def stream_chunk_supported(
+    num_states: int, t: int, beam_width: int = 1, history: int = 1
+) -> bool:
+    return (
+        num_states <= LANES
+        and _ceil_to(t, SUBLANES) <= _MAX_T
+        and beam_width <= _MAX_W
+        and history <= _MAX_H
+    )
+
+
+def _dot_rows(oh, la):
+    """``rows[w, s] = la[state_w, s]`` — exact: the one-hot picks a
+    single term, so the MXU sum has no rounding."""
+    return jax.lax.dot_general(
+        oh, la, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy
+# ---------------------------------------------------------------------------
+
+def _greedy_kernel(
+    la_ref,     # (Sl, Sl) VMEM — log transitions, _NEG padded
+    lo_ref,     # (Tp, Sl) VMEM — chunk log-obs, _NEG padded states
+    nv_ref,     # (1, 1) SMEM int32 — valid frames
+    has_ref,    # (1, 1) SMEM int32 — carried has_prev flag
+    prev_ref,   # (1, Sl) VMEM — carried state one-hot
+    st_ref,     # (Tp, LANES) VMEM out — f32 state per frame
+    sc_ref,     # (Tp, LANES) VMEM out — f32 score per frame
+    oh_out,     # (1, Sl) VMEM out — updated carry one-hot
+    *,
+    t_pad: int,
+    num_states: int,
+):
+    Sl = la_ref.shape[1]
+    la = la_ref[:, :]
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, Sl), 1).astype(
+        jnp.float32
+    )
+    nv = nv_ref[0, 0]
+    log_s = jnp.log(jnp.asarray(float(num_states), jnp.float32))
+    has0 = has_ref[0, 0] > 0
+    # After the first valid frame a previous state always exists.
+    has_rest = jnp.logical_or(has0, nv > 0)
+
+    def step(tf, oh):
+        lo_t = lo_ref[pl.ds(tf, 1), :]        # (1, Sl)
+        rows = _dot_rows(oh, la)              # la[prev] (exact)
+        cont = rows + lo_t
+        first = lo_t - log_s
+        if isinstance(tf, int):
+            has = has0 if tf == 0 else has_rest
+        else:  # interpret mode: rolled loop, traced tf
+            has = jnp.logical_or(
+                has0, jnp.logical_and(tf > 0, nv > 0)
+            )
+        scores = jnp.where(has, cont, first)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        sval = jnp.min(
+            jnp.where(scores == m, iota_l, float(Sl)), axis=1,
+            keepdims=True,
+        )
+        st_ref[pl.ds(tf, 1), :] = jnp.broadcast_to(sval, (1, LANES))
+        sc_ref[pl.ds(tf, 1), :] = jnp.broadcast_to(m, (1, LANES))
+        valid = tf < nv
+        return jnp.where(valid, (iota_l == sval).astype(jnp.float32), oh)
+
+    oh = _frame_loop(0, t_pad, step, prev_ref[:, :])
+    oh_out[:, :] = oh
+
+
+@jax.jit
+def pallas_greedy_chunk(
+    log_a: jax.Array,
+    log_obs: jax.Array,
+    n_valid: jax.Array,
+    carry: Tuple[jax.Array, jax.Array],
+):
+    """Drop-in replacement for the XLA ``streaming._greedy_step`` scan
+    (same signature, bit-identical outputs)."""
+    T, S = log_obs.shape
+    prev_state, has_prev = carry
+    Sl = _ceil_to(S, LANES)
+    Tp = _ceil_to(T, SUBLANES)
+
+    la = _pad_to(_pad_to(log_a.astype(jnp.float32), Sl, 0, _NEG), Sl, 1, _NEG)
+    lo = _pad_to(
+        _pad_to(log_obs.astype(jnp.float32), Sl, 1, _NEG), Tp, 0, 0.0
+    )
+    oh0 = jax.nn.one_hot(prev_state, Sl, dtype=jnp.float32)[None]
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    hp = jnp.asarray(has_prev, jnp.int32).reshape(1, 1)
+
+    st, sc, oh = pl.pallas_call(
+        functools.partial(_greedy_kernel, t_pad=Tp, num_states=S),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, Sl), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(la, lo, nv, hp, oh0)
+
+    states = st[:T, 0].astype(jnp.int32)
+    scores = sc[:T, 0]
+    new_prev = jnp.argmax(oh[0]).astype(jnp.int32)
+    new_has = jnp.logical_or(has_prev, n_valid > 0)
+    return (new_prev, new_has), states, jnp.exp(scores)
+
+
+# ---------------------------------------------------------------------------
+# Beam
+# ---------------------------------------------------------------------------
+
+def _beam_kernel(
+    la_ref,     # (Sl, Sl) VMEM
+    lo_ref,     # (Tp, Sl) VMEM
+    nv_ref,     # (1, 1) SMEM int32
+    pl0_ref,    # (1, 1) SMEM int32 — carried scalar path_len
+    sc_ref,     # (W8, LANES) VMEM — carried scores (broadcast on lanes)
+    oh_ref,     # (W8, Sl) VMEM — carried last-state one-hots
+    pt_ref,     # (W8, Hp) VMEM — carried paths, history right-aligned
+    sc_out,     # (W8, LANES) VMEM out
+    oh_out,     # (W8, Sl) VMEM out
+    pt_out,     # (W8, Hp) VMEM out
+    *,
+    t_pad: int,
+    beam_w: int,
+    num_states: int,
+):
+    W8, Sl = oh_ref.shape
+    Hp = pt_ref.shape[1]
+    la = la_ref[:, :]
+    nv = nv_ref[0, 0]
+    first_chunk = pl0_ref[0, 0] == 0
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, Sl), 1).astype(
+        jnp.float32
+    )
+    avail0 = (iota_l < float(num_states)).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W8, 1), 0).astype(
+        jnp.float32
+    )
+    iota_w3 = jax.lax.broadcasted_iota(
+        jnp.int32, (W8, W8, 1), 1
+    ).astype(jnp.float32)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, Hp), 1)
+    last_col = iota_h == Hp - 1
+    sub_iota2 = jax.lax.broadcasted_iota(
+        jnp.int32, (W8, Sl), 0
+    ).astype(jnp.float32)
+    neg_inf = jnp.float32(-jnp.inf)
+    real_rows = iota_w < float(beam_w)  # (W8, 1)
+
+    def step(tf, carry):
+        sc, oh, pt = carry                    # (W8,1), (W8,Sl), (W8,Hp)
+        lo_t = lo_ref[pl.ds(tf, 1), :]        # (1, Sl)
+        rows = _dot_rows(oh, la)              # (W8, Sl)
+        # Same grouping as the XLA step: (sc + la[ls]) + lo.
+        cont = (sc + rows) + lo_t
+        if isinstance(tf, int) and tf > 0:
+            table = cont                      # pl > 0 past the 1st frame
+        else:
+            table = jnp.where(first_chunk & (tf == 0), sc + lo_t, cont)
+
+        # Best parent per state: sublane tree, ties -> lowest w
+        # (lexicographic — a plain >= is only bracket-local).
+        vals, pars = table, sub_iota2
+        w = W8
+        while w > 1:
+            h = w // 2
+            lv, rv = vals[:h], vals[h:w]
+            lp_, rp_ = pars[:h], pars[h:w]
+            take = (lv > rv) | ((lv == rv) & (lp_ <= rp_))
+            vals = jnp.where(take, lv, rv)
+            pars = jnp.where(take, lp_, rp_)
+            w = h
+        bps = vals[0:1]                        # (1, Sl)
+        pps = pars[0:1]                        # (1, Sl)
+
+        # Top-W states, descending, ties -> lowest state (lax.top_k
+        # order). `avail` guarantees W distinct states even when the
+        # remaining scores tie at -inf.
+        sc_n = jnp.zeros((W8, 1), jnp.float32)
+        oh_n = jnp.zeros((W8, Sl), jnp.float32)
+        pv_n = jnp.zeros((W8, 1), jnp.float32)
+        cur, avail = bps, avail0
+        for wi in range(beam_w):
+            m = jnp.max(jnp.where(avail > 0.0, cur, neg_inf), axis=1,
+                        keepdims=True)
+            sval = jnp.min(
+                jnp.where((cur == m) & (avail > 0.0), iota_l, float(Sl)),
+                axis=1, keepdims=True,
+            )
+            oh_w = (iota_l == sval).astype(jnp.float32)    # (1, Sl)
+            par_w = jnp.max(pps * oh_w, axis=1, keepdims=True)
+            row = (iota_w == float(wi)).astype(jnp.float32)  # (W8, 1)
+            sc_n = sc_n + row * m
+            oh_n = oh_n + row * oh_w
+            pv_n = pv_n + row * par_w
+            avail = jnp.where(oh_w > 0.0, 0.0, avail)
+        # Rows beyond the true beam width stay -inf (the accumulator's
+        # zero init would otherwise outrank real negative scores).
+        sc_n = jnp.where(real_rows, sc_n, neg_inf)
+
+        # Parent-select the path history (values >= 0: mask with 0),
+        # shift left within the right-aligned tile, append the state.
+        pmask = (pv_n[:, None] == iota_w3).astype(jnp.float32)
+        sel_pt = jnp.max(pmask * pt[None], axis=1)          # (W8, Hp)
+        new_pt = pltpu.roll(sel_pt, Hp - 1, axis=1)  # cyclic left-by-1
+        svals = jnp.max(oh_n * iota_l, axis=1, keepdims=True)
+        new_pt = jnp.where(
+            last_col, jnp.broadcast_to(svals, (W8, Hp)), new_pt
+        )
+
+        valid = tf < nv
+        sc = jnp.where(valid, sc_n, sc)
+        oh = jnp.where(valid, oh_n, oh)
+        pt = jnp.where(valid, new_pt, pt)
+        return (sc, oh, pt)
+
+    carry0 = (sc_ref[:, 0:1], oh_ref[:, :], pt_ref[:, :])
+    sc, oh, pt = _frame_loop(0, t_pad, step, carry0)
+    sc_out[:, :] = jnp.broadcast_to(sc, (W8, LANES))
+    oh_out[:, :] = oh
+    pt_out[:, :] = pt
+
+
+@jax.jit
+def pallas_beam_chunk(
+    log_a: jax.Array,
+    log_obs: jax.Array,
+    n_valid: jax.Array,
+    carry,
+):
+    """The ``streaming._beam_step`` scan as one Pallas program (same
+    carry in/out, bit-identical to the XLA scan, including
+    ``lax.top_k`` ordering and tie-breaks)."""
+    T, S = log_obs.shape
+    scores, last_states, paths, path_len = carry
+    W, H = paths.shape
+    Sl = _ceil_to(S, LANES)
+    Tp = _ceil_to(T, SUBLANES)
+    Hp = _ceil_to(H, LANES)
+    W8 = _ceil_to(W, SUBLANES)
+
+    la = _pad_to(_pad_to(log_a.astype(jnp.float32), Sl, 0, _NEG), Sl, 1, _NEG)
+    lo = _pad_to(
+        _pad_to(log_obs.astype(jnp.float32), Sl, 1, _NEG), Tp, 0, 0.0
+    )
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    pl0 = jnp.asarray(path_len, jnp.int32).reshape(1, 1)
+    # Pad hypotheses with -inf scores so they never enter the beam
+    # (matching the XLA step, where only W hypotheses exist at all).
+    sc_in = jnp.broadcast_to(
+        _pad_to(scores.astype(jnp.float32), W8, 0, -jnp.inf)[:, None],
+        (W8, LANES),
+    )
+    oh_in = jax.nn.one_hot(
+        _pad_to(last_states.astype(jnp.int32), W8, 0, 0), Sl,
+        dtype=jnp.float32,
+    )
+    # History right-aligned in the padded lane tile: lane Hp-H+j holds
+    # paths[:, j]; the junk lanes [0, Hp-H) absorb the roll wrap.
+    pt_in = _pad_to(
+        jnp.pad(paths.astype(jnp.float32), ((0, 0), (Hp - H, 0))),
+        W8, 0, 0.0,
+    )
+
+    sc, oh, pt = pl.pallas_call(
+        functools.partial(
+            _beam_kernel, t_pad=Tp, beam_w=W, num_states=S
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((W8, Sl), jnp.float32),
+            jax.ShapeDtypeStruct((W8, Hp), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(la, lo, nv, pl0, sc_in, oh_in, pt_in)
+
+    new_scores = sc[:W, 0]
+    new_states = jnp.argmax(oh[:W], axis=1).astype(jnp.int32)
+    new_paths = pt[:W, Hp - H:].astype(jnp.int32)
+    # path_len evolves deterministically: +1 per valid frame, capped.
+    new_plen = jnp.minimum(
+        path_len + jnp.asarray(n_valid, path_len.dtype), H
+    )
+    return new_scores, new_states, new_paths, new_plen

@@ -28,6 +28,7 @@ compute.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -429,8 +430,46 @@ def _emit(feats, w1, b1, w2, b2):
     return jax.nn.log_softmax(h @ w2 + b2, axis=-1)
 
 
-@jax.jit
+def _use_stream_kernels(num_states, t, beam_width=1, history=1) -> bool:
+    import os
+
+    from .ops.stream import stream_chunk_supported
+
+    return (
+        os.environ.get("PYTORCH_HMM_TPU_NO_PALLAS") != "1"
+        and jax.default_backend() == "tpu"
+        and stream_chunk_supported(num_states, t, beam_width, history)
+    )
+
+
 def _greedy_step(log_a, log_obs, n_valid, carry):
+    """Frame-greedy chunk decode; Pallas chunk kernel on TPU (the XLA
+    scan's tiny per-frame ops are latency-bound at ~2.7 µs/frame), XLA
+    scan elsewhere. Outputs are bit-identical on both paths."""
+    if _use_stream_kernels(log_a.shape[0], log_obs.shape[0]):
+        from .ops.stream import pallas_greedy_chunk
+
+        return pallas_greedy_chunk(log_a, log_obs, n_valid, carry)
+    return _greedy_step_xla(log_a, log_obs, n_valid, carry)
+
+
+def _beam_step(log_a, log_obs, n_valid, carry):
+    """Fixed-width beam chunk decode; Pallas chunk kernel on TPU, XLA
+    scan elsewhere. Outputs are bit-identical on both paths."""
+    paths = carry[2]
+    if _use_stream_kernels(
+        log_a.shape[0], log_obs.shape[0], paths.shape[0], paths.shape[1]
+    ):
+        from .ops.stream import pallas_beam_chunk
+
+        new_carry = pallas_beam_chunk(log_a, log_obs, n_valid, carry)
+        return _beam_finalize(new_carry, carry[0], log_obs.shape[0],
+                              n_valid)
+    return _beam_step_xla(log_a, log_obs, n_valid, carry)
+
+
+@jax.jit
+def _greedy_step_xla(log_a, log_obs, n_valid, carry):
     """Frame-greedy decoding continuing from the carried state
     (``streaming.py:267-320`` semantics: argmax per frame given the
     previous chosen state, not a full Viterbi)."""
@@ -450,14 +489,43 @@ def _greedy_step(log_a, log_obs, n_valid, carry):
         new_has = has | valid
         return (new_prev, new_has, t + 1), (s, sc)
 
+    # unroll amortizes the TPU while-loop dispatch (~2 µs/step rolled)
+    # across fused frame bodies — the chunk step is latency-bound.
     (prev_state, has_prev, _), (states, scores) = jax.lax.scan(
-        step, (prev_state, has_prev, jnp.int32(0)), log_obs
+        step, (prev_state, has_prev, jnp.int32(0)), log_obs, unroll=16
     )
     return (prev_state, has_prev), states, jnp.exp(scores)
 
 
+@functools.partial(jax.jit, static_argnames=("t_pad",))
+def _beam_finalize(new_carry, scores_before, t_pad, n_valid):
+    """Post-scan bookkeeping shared by the XLA and Pallas beam paths:
+    best-path extraction, per-span confidence, score renormalization."""
+    scores, last_states, paths, path_len = new_carry
+    H = paths.shape[1]
+    best = jnp.argmax(scores)
+    # The last n_valid decoded states live at the tail of the history.
+    tail = paths[best]  # (H,)
+    idx = H - n_valid + jnp.arange(t_pad)
+    states = tail[jnp.clip(idx, 0, H - 1)]
+    # Per-span confidence: geometric-mean probability of the frames
+    # decoded in THIS chunk (score delta / n_valid), so long streams
+    # don't decay it. On the first chunk score_before is the uniform
+    # prior, already part of the span's joint, so the delta is the
+    # whole path score as desired.
+    span = scores[best] - jnp.max(scores_before)
+    conf = jnp.full(
+        (t_pad,),
+        jnp.exp(span / jnp.maximum(n_valid, 1).astype(jnp.float32)),
+    )
+    # Renormalize the carried scores so they stay bounded across chunks;
+    # only score differences matter to future top-k/argmax decisions.
+    scores = scores - jnp.max(scores)
+    return (scores, last_states, paths, path_len), states, conf
+
+
 @jax.jit
-def _beam_step(log_a, log_obs, n_valid, carry):
+def _beam_step_xla(log_a, log_obs, n_valid, carry):
     """Fixed-width beam search with carried hypotheses
     (``streaming.py:322-377``)."""
     S = log_a.shape[0]
@@ -496,27 +564,13 @@ def _beam_step(log_a, log_obs, n_valid, carry):
         return (sc, ls, pt, pl, t + 1), None
 
     (scores, last_states, paths, path_len, _), _ = jax.lax.scan(
-        step, (scores, last_states, paths, path_len, jnp.int32(0)), log_obs
+        step, (scores, last_states, paths, path_len, jnp.int32(0)), log_obs,
+        unroll=16,
     )
-    best = jnp.argmax(scores)
-    T_pad = log_obs.shape[0]
-    # The last n_valid decoded states live at the tail of the history.
-    tail = paths[best]  # (H,)
-    idx = H - n_valid + jnp.arange(T_pad)
-    states = tail[jnp.clip(idx, 0, H - 1)]
-    # Per-span confidence: geometric-mean probability of the frames decoded
-    # in THIS chunk (score delta / n_valid), so long streams don't decay it.
-    # On the first chunk score_before is the uniform prior, already part of
-    # the span's joint, so the delta is the whole path score as desired.
-    span = scores[best] - score_before
-    conf = jnp.full(
-        (T_pad,),
-        jnp.exp(span / jnp.maximum(n_valid, 1).astype(jnp.float32)),
+    return _beam_finalize(
+        (scores, last_states, paths, path_len),
+        score_before, log_obs.shape[0], n_valid,
     )
-    # Renormalize the carried scores so they stay bounded across chunks;
-    # only score differences matter to future top-k/argmax decisions.
-    scores = scores - jnp.max(scores)
-    return (scores, last_states, paths, path_len), states, conf
 
 
 class AdaptiveLatencyController:
