@@ -361,7 +361,7 @@ def fused_gmm_viterbi(
         interpret=_use_interpret(),
     )(ob, w2, w1, cn, la_rows, lpi, tt)
 
-    onehot_states, score_p = pl.pallas_call(
+    st_vals, score_p = pl.pallas_call(
         functools.partial(
             _vit_backtrace_kernel, t_chunk=t_chunk, t_total=Tp,
             t_true_static=T, ragged=lengths is not None,
@@ -382,11 +382,11 @@ def fused_gmm_viterbi(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Tp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
         interpret=_use_interpret(),
     )(delta_hbm, la_t, dfin, tt)
 
-    states = jnp.argmax(onehot_states[:B, :T, :S], axis=-1).astype(jnp.int32)
+    states = st_vals[:B, :T].astype(jnp.int32)
     return states, score_p[:B, 0]

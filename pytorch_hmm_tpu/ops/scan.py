@@ -575,7 +575,7 @@ def _vit_backtrace_kernel(
     la_t_ref,    # (K, K) VMEM log transitions TRANSPOSED
     dfin_ref,    # (Bt, K) VMEM — final delta
     tt_ref,      # (Bt, 1) VMEM int32 — per-row true length
-    states_out,  # (B, Tp, K) HBM one-hot states (f32)
+    states_out,  # (B, Tp) HBM f32 state values
     score_ref,   # (Bt, 1) VMEM
     *,
     t_chunk: int,
@@ -614,7 +614,7 @@ def _vit_backtrace_kernel(
             return pltpu.make_async_copy(
                 st_buf.at[slot],
                 states_out.at[
-                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk)
                 ],
                 st_sems.at[slot],
             )
@@ -670,8 +670,7 @@ def _vit_backtrace_kernel(
             def frame(i, state):
                 tf = t_chunk - 1 - i
                 t = c * t_chunk + tf
-                onehot = (lane_iota == state[:, None]).astype(jnp.float32)
-                st_buf[slot, :, tf, :] = onehot
+                st_buf[slot, :, pl.ds(tf, 1)] = state[:, None]
                 d_prev = dback_buf[
                     slot, :, pl.ds(jnp.maximum(tf - 1, 0), 1), :
                 ][:, 0, :]
@@ -699,7 +698,7 @@ def _vit_backtrace_kernel(
     pl.run_scoped(
         body,
         dback_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
-        st_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        st_buf=pltpu.VMEM((2, Bt, t_chunk), jnp.float32),
         din_sems=pltpu.SemaphoreType.DMA((2,)),
         st_sems=pltpu.SemaphoreType.DMA((2,)),
     )
@@ -770,7 +769,7 @@ def pallas_viterbi(
         interpret=_use_interpret(),
     )(lo, la_rows, lpi, tt)
 
-    onehot_states, score_p = pl.pallas_call(
+    st_vals, score_p = pl.pallas_call(
         functools.partial(
             _vit_backtrace_kernel, t_chunk=t_chunk, t_total=Tp,
             t_true_static=T, ragged=lengths is not None,
@@ -791,11 +790,11 @@ def pallas_viterbi(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Tp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
         interpret=_use_interpret(),
     )(delta_hbm, la_t, dfin, tt)
 
-    states = jnp.argmax(onehot_states[:B, :T, :K], axis=-1).astype(jnp.int32)
+    states = st_vals[:B, :T].astype(jnp.int32)
     return states, score_p[:B, 0]

@@ -239,7 +239,7 @@ def _gather_backtrace_kernel(
     psi_hbm,    # (Tp, Ks, Bp) HBM — f32 backpointers
     dfin_ref,   # (Ks, Bp) VMEM — final delta
     tt_ref,     # (1, Bp) VMEM int32
-    st_hbm,     # (Tp, Ks, Bp) HBM out — one-hot states (f32)
+    st_hbm,     # (Tp, Bp) HBM out — f32 state values
     score_ref,  # (1, Bp) VMEM out
     *,
     t_chunk: int,
@@ -287,7 +287,7 @@ def _gather_backtrace_kernel(
             def step(i, state):
                 tf = n_frames - 1 - i
                 onehot = (iota == state).astype(jnp.float32)
-                st_buf[slot, pl.ds(tf, 1)] = onehot[None]
+                st_buf[slot, pl.ds(tf, 1)] = state
                 if has_t0 and isinstance(tf, int) and tf == 0:
                     return state           # t == 0: nothing to gather
                 picked = _tree_max(onehot * psi_buf[slot, tf])[None, :]
@@ -340,7 +340,7 @@ def _gather_backtrace_kernel(
     pl.run_scoped(
         body,
         psi_buf=pltpu.VMEM((2, t_chunk, Ks, Bp), jnp.float32),
-        st_buf=pltpu.VMEM((2, t_chunk, Ks, Bp), jnp.float32),
+        st_buf=pltpu.VMEM((2, t_chunk, Bp), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2,)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
     )
@@ -416,7 +416,7 @@ def smallk_viterbi(
         interpret=_use_interpret(),
     )(lo_t, la, lpi, tt)
 
-    st_onehot, score = pl.pallas_call(
+    st_vals, score = pl.pallas_call(
         functools.partial(
             _gather_backtrace_kernel,
             t_chunk=t_chunk,
@@ -434,11 +434,10 @@ def smallk_viterbi(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, Ks, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp), jnp.float32),
             jax.ShapeDtypeStruct((1, Bp), jnp.float32),
         ],
         interpret=_use_interpret(),
     )(psi, dfin, tt)
 
-    states = jnp.argmax(st_onehot[:T, :K, :B], axis=1)
-    return states.T.astype(jnp.int32), score[0, :B]
+    return st_vals[:T, :B].T.astype(jnp.int32), score[0, :B]
