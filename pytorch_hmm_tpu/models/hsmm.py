@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..core.hsmm import hsmm_forward, hsmm_posteriors
+from ..ops import auto_hsmm_log_z as hsmm_log_z
+from ..ops import auto_hsmm_posteriors as hsmm_posteriors
 from ..ops import auto_hsmm_viterbi as hsmm_viterbi
 from ..durations import (
     gamma_duration_log_pmf,
@@ -184,11 +185,10 @@ class HSMMLayer(TrainMode):
         """Marginal log-likelihood over all segmentations ``(B,)`` — new
         capability; the reference has no HSMM forward algorithm."""
         log_obs = self.get_observation_log_probs(observations)
-        _, log_z = hsmm_forward(
+        return hsmm_log_z(
             log_obs, self._log_a(), self._log_pi(),
             self.get_duration_log_probs(), lengths,
         )
-        return log_z
 
     def compute_loss(
         self,
@@ -446,7 +446,10 @@ def _hsmm_em_stats(log_obs, log_a, log_pi, log_dur, lengths=None):
     them)."""
 
     def lz_sum(log_obs, log_a, log_pi, log_dur):
-        _, lz = hsmm_forward(log_obs, log_a, log_pi, log_dur, lengths)
+        # hsmm_log_z carries closed-form cotangents (one backward scan
+        # + table algebra) — O(B·T·S) residual memory instead of the
+        # scan autodiff's O(T·B·D·S) per-step intermediates.
+        lz = hsmm_log_z(log_obs, log_a, log_pi, log_dur, lengths)
         return jnp.sum(lz), lz
 
     grads, lz = jax.grad(lz_sum, argnums=(0, 1, 2, 3), has_aux=True)(

@@ -30,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from ..core.hsmm import hsmm_forward, hsmm_posteriors
+from ..core.hsmm import hsmm_forward
+from ..ops import auto_hsmm_log_z as hsmm_log_z
+from ..ops import auto_hsmm_posteriors as hsmm_posteriors
 from ..ops import auto_hsmm_viterbi as hsmm_viterbi
 from ..durations import (
     gamma_duration_log_pmf,
@@ -526,7 +528,6 @@ class AdaptiveDurationHSMM(SemiMarkovHMM):
             all_states, jnp.broadcast_to(context, (self.num_states, self.context_dim))
         )
         log_obs = self.observation_log_probs(observations)
-        _, log_z = hsmm_forward(
+        return hsmm_log_z(
             log_obs, self._log_a(), self._log_pi(), log_dur
         )
-        return log_z

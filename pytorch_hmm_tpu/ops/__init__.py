@@ -30,7 +30,12 @@ from .scan import (
     pallas_viterbi,
 )
 from .fused import fused_gmm_supported, fused_gmm_viterbi
-from .hsmm_smallk import hsmm_smallk_supported, hsmm_smallk_viterbi
+from .hsmm_smallk import (
+    hsmm_smallk_backward,
+    hsmm_smallk_forward,
+    hsmm_smallk_supported,
+    hsmm_smallk_viterbi,
+)
 from .smallk import smallk_supported, smallk_viterbi
 
 __all__ = [
@@ -44,9 +49,13 @@ __all__ = [
     "auto_log_likelihood",
     "auto_gmm_viterbi",
     "auto_hsmm_viterbi",
+    "auto_hsmm_log_z",
+    "auto_hsmm_posteriors",
     "fused_gmm_viterbi",
     "fused_gmm_supported",
     "hsmm_smallk_viterbi",
+    "hsmm_smallk_forward",
+    "hsmm_smallk_backward",
     "hsmm_smallk_supported",
     "smallk_viterbi",
     "smallk_supported",
@@ -227,6 +236,104 @@ def auto_hsmm_viterbi(
     from ..core.hsmm import hsmm_viterbi
 
     return hsmm_viterbi(log_obs, log_a, log_pi, log_dur, lengths)
+
+
+def _hsmm_pallas_available(log_obs, log_dur):
+    B, _, S = log_obs.shape
+    D = log_dur.shape[-1]
+    return (
+        not _PALLAS_OPT_OUT
+        and jax.default_backend() == "tpu"
+        and hsmm_smallk_supported(S, D, B)
+    )
+
+
+@jax.custom_vjp
+def _pallas_hsmm_lz(log_obs, log_a, log_pi, log_dur):
+    _, lz = hsmm_smallk_forward(log_obs, log_a, log_pi, log_dur)
+    return lz
+
+
+def _phz_fwd(log_obs, log_a, log_pi, log_dur):
+    log_alpha, lz = hsmm_smallk_forward(log_obs, log_a, log_pi, log_dur)
+    return lz, (log_obs, log_a, log_pi, log_dur, log_alpha, lz)
+
+
+def _phz_bwd(res, g):
+    from ..core.hsmm import hsmm_grads_from_tables
+
+    log_obs, log_a, log_pi, log_dur, log_alpha, lz = res
+    bstar, bstart = hsmm_smallk_backward(log_obs, log_a, log_dur)
+    return hsmm_grads_from_tables(
+        log_obs, log_a, log_pi, log_dur, log_alpha, bstar, bstart, lz,
+        None, g,
+    )
+
+
+_pallas_hsmm_lz.defvjp(_phz_fwd, _phz_bwd)
+
+
+@jax.custom_vjp
+def _pallas_hsmm_lz_masked(log_obs, log_a, log_pi, log_dur, lengths):
+    _, lz = hsmm_smallk_forward(log_obs, log_a, log_pi, log_dur, lengths)
+    return lz
+
+
+def _phzm_fwd(log_obs, log_a, log_pi, log_dur, lengths):
+    log_alpha, lz = hsmm_smallk_forward(
+        log_obs, log_a, log_pi, log_dur, lengths
+    )
+    return lz, (log_obs, log_a, log_pi, log_dur, lengths, log_alpha, lz)
+
+
+def _phzm_bwd(res, g):
+    from ..core.hsmm import hsmm_grads_from_tables
+
+    log_obs, log_a, log_pi, log_dur, lengths, log_alpha, lz = res
+    bstar, bstart = hsmm_smallk_backward(log_obs, log_a, log_dur, lengths)
+    grads = hsmm_grads_from_tables(
+        log_obs, log_a, log_pi, log_dur, log_alpha, bstar, bstart, lz,
+        lengths, g,
+    )
+    d_lengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return (*grads, d_lengths)
+
+
+_pallas_hsmm_lz_masked.defvjp(_phzm_fwd, _phzm_bwd)
+
+
+def auto_hsmm_log_z(log_obs, log_a, log_pi, log_dur, lengths=None):
+    """Differentiable HSMM log-likelihood ``(B,)`` — the Pallas
+    segment-DP forward kernel on TPU with closed-form
+    posterior-expectation cotangents (Pallas backward kernel + table
+    algebra); the XLA scans elsewhere. See ``core.hsmm_log_z``."""
+    from ..core.hsmm import hsmm_log_z
+
+    if _hsmm_pallas_available(log_obs, log_dur):
+        if lengths is None:
+            return _pallas_hsmm_lz(log_obs, log_a, log_pi, log_dur)
+        return _pallas_hsmm_lz_masked(
+            log_obs, log_a, log_pi, log_dur, lengths
+        )
+    return hsmm_log_z(log_obs, log_a, log_pi, log_dur, lengths)
+
+
+def auto_hsmm_posteriors(log_obs, log_a, log_pi, log_dur, lengths=None):
+    """Exact HSMM posteriors dict — Pallas forward/backward kernels on
+    TPU, XLA scans elsewhere. See ``core.hsmm_posteriors``."""
+    from ..core.hsmm import hsmm_posteriors, hsmm_posteriors_from_tables
+
+    if _hsmm_pallas_available(log_obs, log_dur):
+        log_alpha, lz = hsmm_smallk_forward(
+            log_obs, log_a, log_pi, log_dur, lengths
+        )
+        bstar, bstart = hsmm_smallk_backward(
+            log_obs, log_a, log_dur, lengths
+        )
+        return hsmm_posteriors_from_tables(
+            log_a, log_pi, log_alpha, bstar, bstart, lz, lengths
+        )
+    return hsmm_posteriors(log_obs, log_a, log_pi, log_dur, lengths)
 
 
 def auto_gmm_viterbi(

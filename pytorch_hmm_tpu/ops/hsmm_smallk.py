@@ -48,7 +48,12 @@ from .scan import (
 )
 from .smallk import _frame_loop, _k_pad, _tree_max
 
-__all__ = ["hsmm_smallk_viterbi", "hsmm_smallk_supported"]
+__all__ = [
+    "hsmm_smallk_viterbi",
+    "hsmm_smallk_forward",
+    "hsmm_smallk_backward",
+    "hsmm_smallk_supported",
+]
 
 # The (Ss, Ss, Bp) predecessor tree stops being cheap beyond this.
 _MAX_S = 32
@@ -522,3 +527,422 @@ def hsmm_smallk_viterbi(
 
     states = st[:T, :B].T.astype(jnp.int32)
     return states, score[0, :B]
+
+
+def _tree_sum(x):
+    """Sum over axis 0 as a halving tree of whole-vreg adds."""
+    w = x.shape[0]
+    while w > 1:
+        h = w // 2
+        x = x[:h] + x[h:w]
+        w = h
+    return x[0]
+
+
+def _lse0(x):
+    """logsumexp over axis 0 (max-shifted; inputs are > -inf by _NEG
+    clipping, so the shift never produces NaN)."""
+    m = _tree_max(x)
+    return m + jnp.log(_tree_sum(jnp.exp(x - m[None])))
+
+
+def _hsmm_fsum_kernel(
+    lo_hbm,     # (Tp, Ss, Bp) HBM — transposed log-obs
+    la_ref,     # (Ss, Ss) VMEM — log_a[s', s], _NEG padded
+    lpi_ref,    # (Ss, Bp) VMEM
+    ld_ref,     # (Ds, Ss) VMEM — log_dur[j, s], _NEG padded
+    al_hbm,     # (Tp, Ss, Bp) HBM out — log alpha* table
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    D: int,
+):
+    """Sum-semiring twin of the Viterbi trellis: same VMEM ring
+    buffers, logsumexp trees instead of max/argmax, alpha streaming out
+    instead of backpointers."""
+    Ss, Bp = lpi_ref.shape
+    Ds = ld_ref.shape[0]
+    tc = t_chunk
+    n_chunks = t_total // tc
+    tail = t_true - (n_chunks - 1) * tc
+
+    def body(lo_buf, al_buf, mu_ref, c_ref, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(chunk * tc, tc)], lo_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                al_buf.at[slot], al_hbm.at[pl.ds(chunk * tc, tc)],
+                out_sems.at[slot],
+            )
+
+        in_dma(0, 0).start()
+        mu_ref[pl.ds(0, 1)] = lpi_ref[:, :][None]
+        mu_ref[pl.ds(1, Ds - 1)] = jnp.full((Ds - 1, Ss, Bp), _NEG,
+                                            jnp.float32)
+        c_ref[:, :, :] = jnp.zeros((Ds, Ss, Bp), jnp.float32)
+        la = la_ref[:, :]
+        ld3 = ld_ref[:, :][:, :, None]
+
+        def frames(slot, c_run, n_frames: int):
+            def step(tf, c_run):
+                lo_t = lo_buf[slot, tf]
+                c_t = c_run + lo_t
+                scores = (ld3 + (c_t[None] - c_ref[:, :, :])) \
+                    + mu_ref[:, :, :]
+                val = _lse0(scores)                       # (Ss, Bp)
+                trans = la[:, :, None] + val[:, None, :]
+                mu_t = _lse0(trans)
+                al_buf[slot, pl.ds(tf, 1)] = val[None]
+                if D > 1:
+                    mu_ref[pl.ds(1, D - 1)] = mu_ref[pl.ds(0, D - 1)]
+                    c_ref[pl.ds(1, D - 1)] = c_ref[pl.ds(0, D - 1)]
+                mu_ref[pl.ds(0, 1)] = mu_t[None]
+                c_ref[pl.ds(0, 1)] = c_t[None]
+                return c_t
+
+            return _frame_loop(0, n_frames, step, c_run)
+
+        def run_chunk(r_slot, c_run, n_frames: int):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, r_slot + 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, r_slot).wait()
+
+            @pl.when(r_slot >= 2)
+            def _():
+                out_dma(slot, r_slot - 2).wait()
+
+            c_run = frames(slot, c_run, n_frames)
+            out_dma(slot, r_slot).start()
+            return c_run
+
+        c0 = jnp.zeros((Ss, Bp), jnp.float32)
+        if n_chunks == 1:
+            run_chunk(0, c0, tail)
+        else:
+            c_run = run_chunk(0, c0, tc)
+            if n_chunks > 2:
+                c_run = jax.lax.fori_loop(
+                    1, n_chunks - 1, lambda c, cr: run_chunk(c, cr, tc),
+                    c_run,
+                )
+            run_chunk(n_chunks - 1, c_run, tail)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    Ds = ld_ref.shape[0]
+    pl.run_scoped(
+        body,
+        lo_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        al_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        mu_ref=pltpu.VMEM((Ds, Ss, Bp), jnp.float32),
+        c_ref=pltpu.VMEM((Ds, Ss, Bp), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk",))
+def hsmm_smallk_forward(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    log_dur: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    t_chunk: int = _T_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """HSMM forward algorithm on the Pallas path: returns
+    ``(log_alpha_star (B, T, S), log_z (B,))`` like
+    ``core.hsmm_forward`` (values within lse-reassociation tolerance,
+    ~1e-4). Alpha is causal, so ragged rows are exact in-range with no
+    masking; ``log_z`` gathers each row's final valid frame."""
+    B, T, S = log_obs.shape
+    D = log_dur.shape[-1]
+    if not hsmm_smallk_supported(S, D, B):
+        raise ValueError(
+            f"hsmm_smallk_forward requires S <= {_MAX_S}, D <= {_MAX_D},"
+            f" B <= {_MAX_B} (got S={S}, D={D}, B={B})"
+        )
+    Ss = _k_pad(S)
+    Ds = _d_pad(D)
+    Bp = _ceil_to(B, LANES)
+    Tp = _ceil_to(T, t_chunk)
+
+    lo_t = jnp.transpose(log_obs.astype(jnp.float32), (1, 2, 0))
+    lo_t = _pad_to(lo_t, Ss, 1, 0.0)
+    lo_t = _pad_to(lo_t, Bp, 2, 0.0)
+    lo_t = _pad_to(lo_t, Tp, 0, 0.0)
+    la = jnp.maximum(log_a.astype(jnp.float32), _NEG)
+    la = _pad_to(_pad_to(la, Ss, 0, _NEG), Ss, 1, _NEG)
+    lpi = jnp.broadcast_to(
+        _pad_to(log_pi.astype(jnp.float32), Ss, 0, _NEG)[:, None],
+        (Ss, Bp),
+    )
+    ld = jnp.maximum(log_dur.astype(jnp.float32).T, _NEG)
+    ld = _pad_to(_pad_to(ld, Ds, 0, _NEG), Ss, 1, _NEG)
+
+    al = pl.pallas_call(
+        functools.partial(
+            _hsmm_fsum_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T, D=D,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+        interpret=_use_interpret(),
+    )(lo_t, la, lpi, ld)
+
+    log_alpha = jnp.transpose(al[:T, :S, :B], (2, 0, 1))  # (B, T, S)
+    from ..core.semiring import logsumexp
+
+    if lengths is None:
+        fin = log_alpha[:, -1]
+    else:
+        idx = (lengths - 1).astype(jnp.int32)[:, None, None]
+        fin = jnp.take_along_axis(
+            log_alpha, jnp.broadcast_to(idx, (B, 1, S)), axis=1
+        )[:, 0]
+    return log_alpha, logsumexp(fin, axis=-1)
+
+
+def _hsmm_bsum_kernel(
+    lo_hbm,     # (Tp, Ss, Bp) HBM
+    lat_ref,    # (Ss, Ss) VMEM — log_a TRANSPOSED: lat[s', s] = la[s, s']
+    ld_ref,     # (Ds, Ss) VMEM
+    tt_ref,     # (1, Bp) VMEM int32 — per-lane true length
+    bs_hbm,     # (Tp, Ss, Bp) HBM out — log beta*
+    bt_hbm,     # (Tp, Ss, Bp) HBM out — log beta_start
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    D: int,
+    ragged: bool,
+):
+    """Sum-semiring reverse scan (mirrors ``core.hsmm_backward``): the
+    ``w(t) = beta*(t) − C(t+1)`` ring rides VMEM; beta*/beta_start
+    stream out behind the compute."""
+    Ss, Bp = lat_ref.shape[0], lo_hbm.shape[2]
+    Ds = ld_ref.shape[0]
+    tc = t_chunk
+    n_chunks = t_total // tc
+    last_c = n_chunks - 1
+    tail = t_true - last_c * tc
+
+    def body(lo_buf, bs_buf, bt_buf, w_ref, in_sems, bs_sems, bt_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(chunk * tc, tc)], lo_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def bs_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                bs_buf.at[slot], bs_hbm.at[pl.ds(chunk * tc, tc)],
+                bs_sems.at[slot],
+            )
+
+        def bt_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                bt_buf.at[slot], bt_hbm.at[pl.ds(chunk * tc, tc)],
+                bt_sems.at[slot],
+            )
+
+        in_dma(0, last_c).start()
+        w_ref[:, :, :] = jnp.full((Ds, Ss, Bp), _NEG, jnp.float32)
+        lat = lat_ref[:, :]
+        ld3 = ld_ref[:, :][:, :, None]
+        iota_j2 = jax.lax.broadcasted_iota(jnp.int32, (Ds, Ss), 0)
+        ttf = tt_ref[:, :] if ragged else None
+
+        def frames(c, slot, carry, n_frames: int):
+            def step(i, carry):
+                bn, c_next = carry
+                tf = n_frames - 1 - i
+                t = c * tc + tf
+                lo_t = lo_buf[slot, tf]
+                c_t = c_next + lo_t                     # suffix sum C(t)
+                tmp = lat[:, :, None] + bn[:, None, :]  # (s', s, b)
+                bs_next = _lse0(tmp)
+                if ragged:
+                    is_fin = (t == (ttf - 1))           # (1, Bp)
+                    beta_star = jnp.where(is_fin, 0.0, bs_next)
+                elif isinstance(t, int) and t == t_true - 1:
+                    beta_star = jnp.zeros((Ss, Bp), jnp.float32)
+                elif isinstance(t, int):
+                    beta_star = bs_next
+                else:  # interpret mode: traced frame index
+                    beta_star = jnp.where(t == t_true - 1, 0.0, bs_next)
+                w_t = beta_star - c_next
+                if D > 1:
+                    w_ref[pl.ds(1, D - 1)] = w_ref[pl.ds(0, D - 1)]
+                w_ref[pl.ds(0, 1)] = w_t[None]
+
+                scores = ld3 + w_ref[:, :, :]
+                # Segments must end by each row's final frame:
+                # j <= t_fin - t. Non-ragged: static skip when every
+                # duration fits (t + D <= t_true).
+                if ragged:
+                    scores = jnp.where(
+                        iota_j2[:, :, None]
+                        <= ((ttf - 1) - t)[None, :, :],
+                        scores, _NEG,
+                    )
+                elif isinstance(t, int):
+                    if t > t_true - D:
+                        scores = jnp.where(
+                            iota_j2[:, :, None] <= (t_true - 1 - t),
+                            scores, _NEG,
+                        )
+                else:
+                    scores = jnp.where(
+                        iota_j2[:, :, None] <= (t_true - 1 - t),
+                        scores, _NEG,
+                    )
+                bstart = c_t + _lse0(scores)
+                bs_buf[slot, pl.ds(tf, 1)] = beta_star[None]
+                bt_buf[slot, pl.ds(tf, 1)] = bstart[None]
+                return (bstart, c_t)
+
+            return _frame_loop(0, n_frames, step, carry)
+
+        def run_chunk(c, r_slot, carry, n_frames: int):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, last_c - r_slot - 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, last_c - r_slot).wait()
+
+            @pl.when(r_slot >= 2)
+            def _():
+                bs_dma(slot, last_c - r_slot + 2).wait()
+                bt_dma(slot, last_c - r_slot + 2).wait()
+
+            carry = frames(c, slot, carry, n_frames)
+            bs_dma(slot, last_c - r_slot).start()
+            bt_dma(slot, last_c - r_slot).start()
+            return carry
+
+        carry0 = (
+            jnp.full((Ss, Bp), _NEG, jnp.float32),   # bstart(T) = -inf
+            jnp.zeros((Ss, Bp), jnp.float32),        # C(T) = 0
+        )
+        if n_chunks == 1:
+            run_chunk(0, 0, carry0, tail)
+        else:
+            carry = run_chunk(last_c, 0, carry0, tail)
+            if n_chunks > 2:
+                carry = jax.lax.fori_loop(
+                    1, n_chunks - 1,
+                    lambda r, cr: run_chunk(last_c - r, r, cr, tc),
+                    carry,
+                )
+            run_chunk(0, last_c, carry, tc)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            bs_dma((last_c - 1) % 2, 1).wait()
+            bt_dma((last_c - 1) % 2, 1).wait()
+
+        bs_dma(last_c % 2, 0).wait()
+        bt_dma(last_c % 2, 0).wait()
+
+    Ds = ld_ref.shape[0]
+    Ss = lat_ref.shape[0]
+    Bp = lo_hbm.shape[2]
+    pl.run_scoped(
+        body,
+        lo_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        bs_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        bt_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        w_ref=pltpu.VMEM((Ds, Ss, Bp), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        bs_sems=pltpu.SemaphoreType.DMA((2,)),
+        bt_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk",))
+def hsmm_smallk_backward(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_dur: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    t_chunk: int = _T_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """HSMM backward pass on the Pallas path: returns
+    ``(log_beta_star, log_beta_start)`` like ``core.hsmm_backward``
+    (within lse-reassociation tolerance). Padded frames of ragged rows
+    are zeroed before the suffix sums, matching core's bitwise
+    pad-invariance."""
+    B, T, S = log_obs.shape
+    D = log_dur.shape[-1]
+    if not hsmm_smallk_supported(S, D, B):
+        raise ValueError(
+            f"hsmm_smallk_backward requires S <= {_MAX_S}, D <= {_MAX_D},"
+            f" B <= {_MAX_B} (got S={S}, D={D}, B={B})"
+        )
+    Ss = _k_pad(S)
+    Ds = _d_pad(D)
+    Bp = _ceil_to(B, LANES)
+    Tp = _ceil_to(T, t_chunk)
+
+    lo = log_obs.astype(jnp.float32)
+    if lengths is not None:
+        lo = jnp.where(
+            jnp.arange(T)[None, :, None] < lengths[:, None, None], lo, 0.0
+        )
+    lo_t = jnp.transpose(lo, (1, 2, 0))
+    lo_t = _pad_to(lo_t, Ss, 1, 0.0)
+    lo_t = _pad_to(lo_t, Bp, 2, 0.0)
+    lo_t = _pad_to(lo_t, Tp, 0, 0.0)
+    la = jnp.maximum(log_a.astype(jnp.float32), _NEG)
+    lat = _pad_to(_pad_to(la.T, Ss, 0, _NEG), Ss, 1, _NEG)
+    ld = jnp.maximum(log_dur.astype(jnp.float32).T, _NEG)
+    ld = _pad_to(_pad_to(ld, Ds, 0, _NEG), Ss, 1, _NEG)
+    if lengths is None:
+        tt = jnp.full((1, Bp), T, jnp.int32)
+    else:
+        tt = _pad_to(lengths.astype(jnp.int32)[None, :], Bp, 1, T)
+
+    bs, bt = pl.pallas_call(
+        functools.partial(
+            _hsmm_bsum_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
+            D=D, ragged=lengths is not None,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(lo_t, lat, ld, tt)
+
+    log_bstar = jnp.transpose(bs[:T, :S, :B], (2, 0, 1))
+    log_bstart = jnp.transpose(bt[:T, :S, :B], (2, 0, 1))
+    return log_bstar, log_bstart

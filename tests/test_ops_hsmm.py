@@ -118,3 +118,87 @@ def test_supported_predicate_and_fallback():
     st_c, sc_c = core_hsmm_viterbi(lo, la, lp, ld)
     np.testing.assert_array_equal(np.asarray(st_a), np.asarray(st_c))
     np.testing.assert_array_equal(np.asarray(sc_a), np.asarray(sc_c))
+
+
+def test_hsmm_log_z_closed_form_grads_match_autodiff():
+    """hsmm_log_z's custom VJP (posterior-expectation cotangents) must
+    match differentiating through the forward scan, ragged included."""
+    from pytorch_hmm_tpu.core.hsmm import hsmm_forward, hsmm_log_z
+
+    B, T, S, D = 3, 60, 6, 9
+    lo, la, lp, ld = _problem(B, T, S, D, 21, min_duration=3)
+    w = jnp.asarray([1.0, 2.0, -0.5])
+    for lens in (None, jnp.asarray([60, 23, 3], jnp.int32)):
+        def f_auto(lo, la, lp, ld):
+            return jnp.sum(hsmm_forward(lo, la, lp, ld, lens)[1] * w)
+
+        def f_cf(lo, la, lp, ld):
+            return jnp.sum(hsmm_log_z(lo, la, lp, ld, lens) * w)
+
+        np.testing.assert_allclose(
+            f_auto(lo, la, lp, ld), f_cf(lo, la, lp, ld), rtol=1e-6
+        )
+        import jax
+
+        ga = jax.grad(f_auto, argnums=(0, 1, 2, 3))(lo, la, lp, ld)
+        gc = jax.grad(f_cf, argnums=(0, 1, 2, 3))(lo, la, lp, ld)
+        for name, x, y in zip(("obs", "a", "pi", "dur"), ga, gc):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-5, err_msg=name
+            )
+
+
+@pytest.mark.parametrize("B,T,S,D,seed", [
+    (4, 200, 10, 20, 31),
+    (2, 300, 5, 7, 32),
+    (1, 12, 3, 20, 33),
+])
+def test_hsmm_sum_kernels_match_core(B, T, S, D, seed):
+    from pytorch_hmm_tpu.core.hsmm import hsmm_backward, hsmm_forward
+    from pytorch_hmm_tpu.ops import (
+        hsmm_smallk_backward,
+        hsmm_smallk_forward,
+    )
+
+    lo, la, lp, ld = _problem(B, T, S, D, seed)
+    al_k, lz_k = hsmm_smallk_forward(lo, la, lp, ld)
+    al_c, lz_c = hsmm_forward(lo, la, lp, ld)
+    np.testing.assert_allclose(np.asarray(al_k), np.asarray(al_c),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lz_k), np.asarray(lz_c),
+                               atol=5e-4)
+    bs_k, bt_k = hsmm_smallk_backward(lo, la, ld)
+    bs_c, bt_c = hsmm_backward(lo, la, ld)
+    np.testing.assert_allclose(np.asarray(bs_k), np.asarray(bs_c),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(bt_k), np.asarray(bt_c),
+                               atol=5e-4)
+
+
+def test_hsmm_sum_kernels_ragged():
+    from pytorch_hmm_tpu.core.hsmm import hsmm_backward, hsmm_forward
+    from pytorch_hmm_tpu.ops import (
+        hsmm_smallk_backward,
+        hsmm_smallk_forward,
+    )
+
+    lo, la, lp, ld = _problem(4, 200, 9, 15, 41)
+    lens = jnp.asarray([200, 61, 128, 17], jnp.int32)
+    al_k, lz_k = hsmm_smallk_forward(lo, la, lp, ld, lens)
+    al_c, lz_c = hsmm_forward(lo, la, lp, ld, lens)
+    np.testing.assert_allclose(np.asarray(lz_k), np.asarray(lz_c),
+                               atol=5e-4)
+    # Table entries are only specified in-range.
+    for b, L in enumerate([200, 61, 128, 17]):
+        np.testing.assert_allclose(
+            np.asarray(al_k)[b, :L], np.asarray(al_c)[b, :L], atol=5e-4
+        )
+    bs_k, bt_k = hsmm_smallk_backward(lo, la, ld, lens)
+    bs_c, bt_c = hsmm_backward(lo, la, ld, lens)
+    for b, L in enumerate([200, 61, 128, 17]):
+        np.testing.assert_allclose(
+            np.asarray(bs_k)[b, :L], np.asarray(bs_c)[b, :L], atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(bt_k)[b, :L], np.asarray(bt_c)[b, :L], atol=5e-4
+        )
