@@ -285,14 +285,16 @@ class NeuralObservationModel(TrainMode):
         The linear heads distribute over ``obs_feats + state_emb``:
         ``W(f + e) + b = (Wf + b) + We``, so per-state head outputs are
         a shared observation part plus a tiny per-state table. The
-        Gaussian quadratic then expands into three ``(B·T, D) × (D, S)``
-        contractions that run on the MXU::
-
-            Σ_d (u - m_s)² w w_s = (u²w)·w_s − 2(uw)·(m_s w_s) + w·(m_s² w_s)
-
-        with ``u = x − mean_o``, ``w = exp(−lv_o)``, per-state
-        ``m_s, w_s``. Same math as the reference's per-state loop
-        (``neural.py:198-208``), reassociated for hardware.
+        quadratic is then evaluated in its DIRECT form ``Σ_d (u − m_s)²
+        w w_s`` one state at a time (S fused elementwise passes over
+        (B, T, D)) — expanding it into ``u²w·w_s − 2uw·(m_s w_s) + ...``
+        would run on the MXU but cancels catastrophically in f32 when
+        ``u ≈ m_s`` at large magnitudes. Same math as the reference's
+        per-state loop (``neural.py:198-208``); agrees with the indexed
+        path to ~1e-5 under f32 matmuls (on TPU at default precision,
+        both paths independently absorb bf16-pass noise from the
+        head/trunk matmuls — set ``jax.default_matmul_precision`` to
+        tighten).
         """
         D = self.observation_dim
         S = self.num_states
@@ -306,14 +308,12 @@ class NeuralObservationModel(TrainMode):
             u = x - mo
             wo = jnp.exp(-lvo)
             ws = jnp.exp(-lvs)                             # (S, D)
-            # HIGHEST: default TPU matmul runs bf16 passes — ~4e-3
-            # relative error on |log-prob| ~ 50 is enough to flip
-            # Viterbi paths. Full-f32 here costs ~30 MFLOP, nothing.
-            hi = jax.lax.Precision.HIGHEST
-            mahal = (
-                jnp.dot(u * u * wo, ws.T, precision=hi)
-                - 2.0 * jnp.dot(u * wo, (ms * ws).T, precision=hi)
-                + jnp.dot(wo, (ms * ms * ws).T, precision=hi)
+            mahal = jnp.stack(
+                [
+                    jnp.sum((u - ms[s]) ** 2 * wo * ws[s], axis=-1)
+                    for s in range(S)
+                ],
+                axis=-1,
             )                                              # (B, T, S)
             log_norm = -0.5 * (
                 D * jnp.log(2.0 * jnp.pi)
@@ -336,13 +336,13 @@ class NeuralObservationModel(TrainMode):
         u = x[:, :, None, :] - mo                          # (B, T, C, D)
         wo = jnp.exp(-lvo)
         ws = jnp.exp(-lvs)                                 # (S, C, D)
-        hi = jax.lax.Precision.HIGHEST
-        mahal = (
-            jnp.einsum("btcd,scd->btsc", u * u * wo, ws, precision=hi)
-            - 2.0 * jnp.einsum("btcd,scd->btsc", u * wo, ms * ws,
-                               precision=hi)
-            + jnp.einsum("btcd,scd->btsc", wo, ms * ms * ws, precision=hi)
-        )
+        mahal = jnp.stack(
+            [
+                jnp.sum((u - ms[s]) ** 2 * wo * ws[s], axis=-1)
+                for s in range(S)
+            ],
+            axis=2,
+        )                                                  # (B, T, S, C)
         log_norm = -0.5 * (
             D * jnp.log(2.0 * jnp.pi)
             + jnp.sum(lvo, axis=-1)[:, :, None, :]         # (B, T, 1, C)

@@ -66,13 +66,18 @@ __all__ = [
 # fit VMEM comfortably; the XLA scan handles the tail case.
 _MAX_K = 1024
 
-_PALLAS_OPT_OUT = os.environ.get("PYTORCH_HMM_TPU_NO_PALLAS") == "1"
+def _pallas_opt_out() -> bool:
+    """Read the opt-out env var at call time (not import time), so
+    PYTORCH_HMM_TPU_NO_PALLAS=1 can be toggled at runtime — e.g. to
+    A/B the XLA path or work around a kernel issue without a
+    re-import. streaming.py reads it the same way."""
+    return os.environ.get("PYTORCH_HMM_TPU_NO_PALLAS") == "1"
 
 
 def pallas_available(num_states: int) -> bool:
     """True when the Pallas path applies on this backend."""
     return (
-        not _PALLAS_OPT_OUT
+        not _pallas_opt_out()
         and jax.default_backend() == "tpu"
         and num_states <= _MAX_K
     )
@@ -225,13 +230,7 @@ def auto_hsmm_viterbi(
     latency-bound at the reference benchmark shape), ``core.hsmm_viterbi``
     elsewhere. Paths/scores are identical on both paths, tie-breaks
     included. Replaces (performance-wise) reference ``hsmm.py:245-354``."""
-    B, _, S = log_obs.shape
-    D = log_dur.shape[-1]
-    if (
-        not _PALLAS_OPT_OUT
-        and jax.default_backend() == "tpu"
-        and hsmm_smallk_supported(S, D, B)
-    ):
+    if _hsmm_pallas_available(log_obs, log_dur):
         return hsmm_smallk_viterbi(log_obs, log_a, log_pi, log_dur, lengths)
     from ..core.hsmm import hsmm_viterbi
 
@@ -242,7 +241,7 @@ def _hsmm_pallas_available(log_obs, log_dur):
     B, _, S = log_obs.shape
     D = log_dur.shape[-1]
     return (
-        not _PALLAS_OPT_OUT
+        not _pallas_opt_out()
         and jax.default_backend() == "tpu"
         and hsmm_smallk_supported(S, D, B)
     )
@@ -364,7 +363,7 @@ def auto_gmm_viterbi(
 
     S, C = log_w.shape
     B = obs.shape[0]
-    on_tpu = not _PALLAS_OPT_OUT and jax.default_backend() == "tpu"
+    on_tpu = not _pallas_opt_out() and jax.default_backend() == "tpu"
     if on_tpu and smallk_supported(S, B):
         log_obs = gmm_log_probs(obs, means, log_vars, log_w, "diag")
         return smallk_viterbi(log_obs, log_a, log_pi, lengths)

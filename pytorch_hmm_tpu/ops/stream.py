@@ -61,6 +61,10 @@ def stream_chunk_supported(
         num_states <= LANES
         and _ceil_to(t, SUBLANES) <= _MAX_T
         and beam_width <= _MAX_W
+        # W > S has no W distinct states to fill the beam — the kernel's
+        # top-k accumulator would produce NaN (0 · -inf) where the XLA
+        # path raises from lax.top_k.
+        and beam_width <= num_states
         and history <= _MAX_H
     )
 

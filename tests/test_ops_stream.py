@@ -125,3 +125,10 @@ def test_supported_predicate():
     assert not stream_chunk_supported(200, 192)       # S > 128
     assert not stream_chunk_supported(12, 2000)       # T too long
     assert not stream_chunk_supported(12, 192, 16)    # beam too wide
+
+
+def test_beam_width_gt_states_unsupported():
+    """W > S has no W distinct states — the kernel would emit NaN where
+    lax.top_k raises; the predicate must reject it."""
+    assert not stream_chunk_supported(3, 16, 5, 20)
+    assert stream_chunk_supported(5, 16, 5, 20)
