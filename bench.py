@@ -148,7 +148,9 @@ def main():
             states, score = m.viterbi_decode_hsmm(o)
             return jnp.sum(score) + jnp.sum(states[:, -1])
 
-        lat = measure(hsmm_decode, obs, 24)
+        # The Pallas segment-DP decode is ~0.25 ms/call; 64 reps keep
+        # the chained total well above tunnel jitter (~1 ms).
+        lat = measure(hsmm_decode, obs, 64)
         lines.append(emit(
             "hsmm_decode_rtf_b32_T1000_s10_d20", lat, 32 * 1000 * FRAME_SEC,
             3.5e-3,
@@ -206,7 +208,7 @@ def main():
             gamma, alpha, beta = m(o)
             return jnp.sum(gamma[:, -1]) + jnp.sum(alpha[:, -1])
 
-        lat = measure(neural_fwd, obs, 16)
+        lat = measure(neural_fwd, obs, 24)
         lines.append(emit(
             "neural_hmm_forward_rtf_b16_T1000_s12_h256", lat,
             16 * 1000 * FRAME_SEC, 5.1e-3,

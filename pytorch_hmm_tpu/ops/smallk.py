@@ -110,7 +110,11 @@ def _trellis_psi_kernel(
     tc = t_chunk
     n_chunks = t_total // tc
     tail = t_true - (n_chunks - 1) * tc   # true frames in the last chunk
-    G = 16                                # psi vectorization group
+    # psi vectorization group: the pass materializes (G, Ks, Ks, Bp)
+    # value+index temporaries; scale G down with the state tile so the
+    # kernel's scoped-VMEM stack stays under the 16 MB core limit
+    # (G=16 at Ks=32 allocated 19 MB and failed to compile).
+    G = 16 if Ks <= 16 else 4
 
     def body(lo_buf, psi_buf, delta_buf, in_sems, out_sems):
         # delta_buf row tf+1 holds delta[tf] of the current chunk; row 0

@@ -37,6 +37,9 @@ class TestExampleMains:
     def test_v0_2_0_demo(self):
         _load(EXAMPLES_DIR / "v0_2_0_demo.py").main(quick=True)
 
+    def test_forced_alignment(self):
+        _load(EXAMPLES_DIR / "forced_alignment.py").main(quick=True)
+
     def test_benchmark(self, tmp_path):
         out = tmp_path / "report.json"
         _load(EXAMPLES_DIR / "benchmark.py").main(
