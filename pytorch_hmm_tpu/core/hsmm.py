@@ -238,6 +238,31 @@ def _hsmm_scan(log_obs, log_a, log_pi, log_dur, viterbi: bool):
     )
 
 
+def _cumsum_time(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum over axis 1 of ``(B, T, S)``.
+
+    XLA's TPU lowering of ``jnp.cumsum`` costs ~0.5 ms at (32, 1000, 10)
+    — more than an entire Pallas segment-DP scan. On TPU this computes
+    the same prefix sums as a two-level blocked scan whose within-block
+    step is one triangular matmul on the MXU (linear in T, ~0.05 ms at
+    the same shape); elsewhere it stays ``jnp.cumsum``.
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.cumsum(x, axis=1)
+    B, T, S = x.shape
+    blk = min(256, max(8, T))
+    Tp = -(-T // blk) * blk
+    xp = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    xb = xp.reshape(B, Tp // blk, blk, S)
+    tri = jnp.tril(jnp.ones((blk, blk), x.dtype))
+    within = jnp.einsum(
+        "ut,bkts->bkus", tri, xb, precision=jax.lax.Precision.HIGHEST
+    )
+    totals = within[:, :, -1]                       # (B, K, S) block sums
+    offs = jnp.cumsum(totals, axis=1) - totals      # exclusive, K ≤ T/8
+    return (within + offs[:, :, None]).reshape(B, Tp, S)[:, :T]
+
+
 def _entry_scores(log_alpha, log_a, log_pi):
     """``nu(u, s)`` — log-score of a segment of ``s`` *starting* at
     frame ``u``: ``mu(u-1, s) = lse_{s'}(alpha*(u-1, s') + log_a[s', s])``
@@ -294,9 +319,9 @@ def hsmm_grads_from_tables(log_obs, log_a, log_pi, log_dur, log_alpha,
     if valid is not None:
         seg_end = jnp.where(valid, seg_end, 0.0)
         seg_start = jnp.where(valid, seg_start, 0.0)
-    gamma = jnp.cumsum(seg_start, axis=1) - jnp.concatenate(
+    gamma = _cumsum_time(seg_start) - jnp.concatenate(
         [jnp.zeros_like(seg_end[:, :1]),
-         jnp.cumsum(seg_end, axis=1)[:, :-1]],
+         _cumsum_time(seg_end)[:, :-1]],
         axis=1,
     )
     gamma = jnp.clip(gamma, 0.0, 1.0)
@@ -329,7 +354,7 @@ def hsmm_grads_from_tables(log_obs, log_a, log_pi, log_dur, log_alpha,
     # Per-duration shifts are uniform, so each d is a pair of STATIC
     # slices (gathers with (B,T,S,D) index tensors are far slower on
     # TPU than D fused elementwise passes).
-    C = jnp.cumsum(log_obs, axis=1)                       # (B, T, S)
+    C = _cumsum_time(log_obs)                             # (B, T, S)
     c_before = jnp.concatenate(
         [jnp.zeros_like(C[:, :1]), C[:, :-1]], axis=1
     )                                                     # C(u-1)
@@ -567,8 +592,8 @@ def hsmm_posteriors_from_tables(
         seg_end = jnp.where(valid, seg_end, 0.0)
         seg_start = jnp.where(valid, seg_start, 0.0)
 
-    gamma = jnp.cumsum(seg_start, axis=1) - jnp.concatenate(
-        [jnp.zeros_like(seg_end[:, :1]), jnp.cumsum(seg_end, axis=1)[:, :-1]],
+    gamma = _cumsum_time(seg_start) - jnp.concatenate(
+        [jnp.zeros_like(seg_end[:, :1]), _cumsum_time(seg_end)[:, :-1]],
         axis=1,
     )
     gamma = jnp.clip(gamma, 0.0, 1.0)
