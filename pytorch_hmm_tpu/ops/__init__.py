@@ -83,6 +83,33 @@ def pallas_available(num_states: int) -> bool:
     )
 
 
+def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None):
+    """HMM forward ``(log_alpha, log_z)`` on the fastest Pallas path.
+
+    A plain HMM is an HSMM with the duration pmf fixed at 1 frame, so
+    for K ≤ 32 this runs the transposed-layout sum kernel (states on
+    sublanes — measured ~4× the lane-layout kernel at K=12, B=16,
+    T=1000). Lengths or larger K use the lane-layout kernel. Caveat:
+    the transposed path's alpha is only used where lengths is None, so
+    the 'frozen past the end' padding convention never applies.
+    """
+    B, _, K = log_obs.shape
+    if lengths is None and hsmm_smallk_supported(K, 1, B):
+        ld1 = jnp.zeros((K, 1), jnp.float32)
+        return hsmm_smallk_forward(log_obs, log_a, log_pi, ld1)
+    return pallas_forward(log_obs, log_a, log_pi, lengths)
+
+
+def _hmm_bwd_fast(log_obs, log_a, lengths=None):
+    """HMM backward ``log_beta`` — transposed D=1 kernel when it
+    applies (beta == the HSMM's beta-star at unit durations)."""
+    B, _, K = log_obs.shape
+    if lengths is None and hsmm_smallk_supported(K, 1, B):
+        ld1 = jnp.zeros((K, 1), jnp.float32)
+        return hsmm_smallk_backward(log_obs, log_a, ld1)[0]
+    return pallas_backward(log_obs, log_a, lengths)
+
+
 @jax.custom_vjp
 def pallas_log_likelihood(log_obs, log_a, log_pi):
     """Sequence log-likelihood ``(B,)`` on the Pallas forward kernel,
@@ -92,18 +119,18 @@ def pallas_log_likelihood(log_obs, log_a, log_pi):
     ``∂ log Z / ∂ log_a = Σ_t ξ_t`` (pairwise posteriors),
     ``∂ log Z / ∂ log_pi = γ_0``.
     """
-    _, lz = pallas_forward(log_obs, log_a, log_pi)
+    _, lz = _hmm_fwd_fast(log_obs, log_a, log_pi)
     return lz
 
 
 def _ll_fwd(log_obs, log_a, log_pi):
-    log_alpha, lz = pallas_forward(log_obs, log_a, log_pi)
+    log_alpha, lz = _hmm_fwd_fast(log_obs, log_a, log_pi)
     return lz, (log_obs, log_a, log_pi, log_alpha, lz)
 
 
 def _ll_bwd(res, g):
     log_obs, log_a, log_pi, log_alpha, lz = res
-    log_beta = pallas_backward(log_obs, log_a)
+    log_beta = _hmm_bwd_fast(log_obs, log_a)
     log_gamma = log_alpha + log_beta - lz[:, None, None]
     gamma = jnp.exp(log_gamma)
     gw = g[:, None, None] * gamma
@@ -166,7 +193,7 @@ def auto_forward(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
     """``(log_alpha, log_z)`` via Pallas on TPU (static K), XLA scan
     elsewhere."""
     if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
-        return pallas_forward(log_obs, log_a, log_pi, lengths)
+        return _hmm_fwd_fast(log_obs, log_a, log_pi, lengths)
     return core.forward_log(log_obs, log_a, log_pi, lengths)
 
 
@@ -178,10 +205,35 @@ def auto_forward_backward(
     scans elsewhere / for time-varying transitions. The posterior
     normalization matches ``core.forward_backward`` exactly."""
     if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
-        log_alpha, log_z = pallas_forward(log_obs, log_a, log_pi, lengths)
-        log_beta = pallas_backward(log_obs, log_a, lengths)
-        lg = log_alpha + log_beta
+        # Condition the recursions: raw log-alpha reaches |T·log p| ~ 1e5
+        # at speech shapes, where one f32 ulp is ~8e-3 — posteriors
+        # computed from raw alpha+beta absorb that as error. Shifting
+        # each frame's emissions by their per-frame max adds the same
+        # per-frame constant to every state's alpha/beta sum, so gamma
+        # is EXACTLY unchanged mathematically but computed at O(1e3)
+        # magnitudes (~100× finer ulp). The shift is re-added to the
+        # returned alpha/beta/log_z so the API stays raw.
+        shift = jnp.max(log_obs, axis=-1, keepdims=True)   # (B, T, 1)
+        lo_hat = log_obs - shift
+        alpha_hat, lz_hat = _hmm_fwd_fast(lo_hat, log_a, log_pi, lengths)
+        beta_hat = _hmm_bwd_fast(lo_hat, log_a, lengths)
+        lg = alpha_hat + beta_hat
         log_gamma = lg - core.semiring.logsumexp(lg, axis=-1, keepdims=True)
+        if lengths is not None:
+            valid = (
+                jnp.arange(log_obs.shape[1])[None, :, None]
+                < lengths[:, None, None]
+            )
+            shift = jnp.where(valid, shift, 0.0)
+        csh = core.hsmm._cumsum_time(shift)                # Σ_{u<=t} shift
+        log_alpha = alpha_hat + csh
+        total = csh[:, -1] if lengths is None else (
+            jnp.take_along_axis(
+                csh, (lengths - 1).astype(jnp.int32)[:, None, None], axis=1
+            )[:, 0]
+        )
+        log_beta = beta_hat + (total[:, None] - csh)
+        log_z = lz_hat + total[:, 0]
         return log_gamma, log_alpha, log_beta, log_z
     return core.forward_backward(log_obs, log_a, log_pi, lengths)
 
