@@ -72,12 +72,39 @@ def _lattice_masks(expanded: jax.Array, blank_id: int):
     return (lbl != blank_id) & (lbl != lbl_m2)
 
 
+def _gather_emissions(log_probs: jax.Array, expanded: jax.Array) -> jax.Array:
+    """``lp[b, t, s] = log_probs[t, b, expanded[b, s]]`` as an exact
+    one-hot matmul — a (B, T, S) ``take_along_axis`` gather costs ~9 ms
+    at (B=16, T=500, U=50) on TPU, the batched (T, C) @ (C, S) contraction
+    ~0.1 ms (each output sums exactly one term, so there is no rounding).
+    """
+    C = log_probs.shape[-1]
+    onehot = jax.nn.one_hot(expanded, C, dtype=log_probs.dtype)  # (B, S, C)
+    return jnp.einsum(
+        "tbc,bsc->bts", log_probs, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _shift1(x):
     return jnp.concatenate([jnp.full_like(x[:, :1], _NEG), x[:, :-1]], axis=1)
 
 
 def _shift2(x):
     return jnp.concatenate([jnp.full_like(x[:, :2], _NEG), x[:, :-2]], axis=1)
+
+
+def _use_ctc_kernels(lattice_size: int, batch: int) -> bool:
+    """Pallas banded-lattice kernels on TPU (checked at trace time)."""
+    import os
+
+    from ..ops.ctc_kernel import ctc_lattice_supported
+
+    return (
+        os.environ.get("PYTORCH_HMM_TPU_NO_PALLAS") != "1"
+        and jax.default_backend() == "tpu"
+        and ctc_lattice_supported(lattice_size, batch)
+    )
 
 
 @partial(jax.jit, static_argnames=("blank_id",))
@@ -105,28 +132,38 @@ def ctc_forward_algorithm(
     s_idx = jnp.arange(S)[None, :]
     valid_pos = s_idx < (2 * target_lengths[:, None] + 1)
 
-    lp = jnp.take_along_axis(
-        log_probs.transpose(1, 0, 2), expanded[:, None, :].repeat(T, 1),
-        axis=2,
-    )  # (B, T, S): per-frame score of each lattice position's label
+    lp = _gather_emissions(log_probs, expanded)
 
     a0 = jnp.full((B, S), _NEG)
     a0 = a0.at[:, 0].set(lp[:, 0, 0])
     a0 = a0.at[:, 1].set(jnp.where(target_lengths > 0, lp[:, 0, 1], _NEG))
     a0 = jnp.where(valid_pos, a0, _NEG)
 
-    def step(carry, xs):
-        a, t = carry, xs
-        stay = a
-        adv = _shift1(a)
-        skip = jnp.where(skip_ok, _shift2(a), _NEG)
-        nxt = lp[:, t] + logsumexp(jnp.stack([stay, adv, skip]), axis=0)
-        nxt = jnp.where(valid_pos, nxt, _NEG)
-        nxt = jnp.where((t < input_lengths)[:, None], nxt, a)
-        return nxt, nxt
+    if _use_ctc_kernels(S, B):
+        from ..ops.ctc_kernel import ctc_lattice_forward
 
-    _, rest = jax.lax.scan(step, a0, jnp.arange(1, T), unroll=8)
-    log_alpha = jnp.concatenate([a0[:, None], rest.swapaxes(0, 1)], axis=1)
+        log_alpha = ctc_lattice_forward(
+            lp,
+            jnp.where(skip_ok, 0.0, _NEG),
+            jnp.where(valid_pos, 0.0, _NEG),
+            a0,
+            input_lengths,
+        )
+    else:
+        def step(carry, xs):
+            a, t = carry, xs
+            stay = a
+            adv = _shift1(a)
+            skip = jnp.where(skip_ok, _shift2(a), _NEG)
+            nxt = lp[:, t] + logsumexp(jnp.stack([stay, adv, skip]), axis=0)
+            nxt = jnp.where(valid_pos, nxt, _NEG)
+            nxt = jnp.where((t < input_lengths)[:, None], nxt, a)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(step, a0, jnp.arange(1, T), unroll=8)
+        log_alpha = jnp.concatenate(
+            [a0[:, None], rest.swapaxes(0, 1)], axis=1
+        )
 
     last = jnp.take_along_axis(
         log_alpha, (input_lengths - 1)[:, None, None].astype(jnp.int32),
@@ -159,10 +196,7 @@ def ctc_backward_algorithm(
     s_idx = jnp.arange(S)[None, :]
     valid_pos = s_idx < (2 * target_lengths[:, None] + 1)
 
-    lp = jnp.take_along_axis(
-        log_probs.transpose(1, 0, 2), expanded[:, None, :].repeat(T, 1),
-        axis=2,
-    )
+    lp = _gather_emissions(log_probs, expanded)
 
     # beta at each sequence's final frame: 0 at the two exit positions.
     exit1 = s_idx == (2 * target_lengths)[:, None]
@@ -183,6 +217,17 @@ def ctc_backward_algorithm(
         [skip_ok[:, 2:], jnp.zeros_like(skip_ok[:, :2])], axis=1
     )
 
+    if _use_ctc_kernels(S, B):
+        from ..ops.ctc_kernel import ctc_lattice_backward
+
+        return ctc_lattice_backward(
+            lp,
+            jnp.where(skip_fwd, 0.0, _NEG),
+            jnp.where(valid_pos, 0.0, _NEG),
+            bT,
+            input_lengths,
+        )
+
     def step(carry, t):
         b = carry
         msg = b + lp[:, t + 1]  # score of being at position s at t+1
@@ -201,6 +246,54 @@ def ctc_backward_algorithm(
     return jnp.concatenate([rest.swapaxes(0, 1), bT[:, None]], axis=1)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_ll(log_probs, targets, input_lengths, target_lengths, blank_id):
+    """Differentiable per-sequence CTC log-likelihood ``(B,)``.
+
+    The VJP is the classic closed form — the lattice posterior
+    ``exp(α + β − ll)`` scattered back onto the vocabulary by the
+    expanded labels — assembled from the α/β tables (one backward pass)
+    instead of autodiff through the forward scan. This is what lets the
+    Pallas lattice kernels carry training too.
+    """
+    _, ll = ctc_forward_algorithm(
+        log_probs, targets, input_lengths, target_lengths, blank_id
+    )
+    return ll
+
+
+def _ctc_ll_fwd(log_probs, targets, input_lengths, target_lengths, blank_id):
+    log_alpha, ll = ctc_forward_algorithm(
+        log_probs, targets, input_lengths, target_lengths, blank_id
+    )
+    return ll, (log_probs, targets, input_lengths, target_lengths,
+                log_alpha, ll)
+
+
+def _ctc_ll_bwd(blank_id, res, g):
+    log_probs, targets, input_lengths, target_lengths, log_alpha, ll = res
+    T, B, C = log_probs.shape
+    log_beta = ctc_backward_algorithm(
+        log_probs, targets, input_lengths, target_lengths, blank_id
+    )
+    # Lattice posterior: beta excludes frame t's emission, so alpha+beta
+    # is the full path mass through position s at frame t.
+    post = jnp.exp(log_alpha + log_beta - ll[:, None, None])  # (B, T, S)
+    valid_t = (
+        jnp.arange(T)[None, :, None] < input_lengths[:, None, None]
+    )
+    post = jnp.where(valid_t, post, 0.0)
+    expanded = expand_targets_with_blank(targets, blank_id)     # (B, S)
+    onehot = jax.nn.one_hot(expanded, C, dtype=post.dtype)      # (B, S, C)
+    d_lp = jnp.einsum("bts,bsc->btc", post, onehot)             # (B, T, C)
+    d_log_probs = g[None, :, None] * d_lp.transpose(1, 0, 2)    # (T, B, C)
+    zi = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_log_probs, zi(targets), zi(input_lengths), zi(target_lengths)
+
+
+_ctc_ll.defvjp(_ctc_ll_fwd, _ctc_ll_bwd)
+
+
 def ctc_loss(
     log_probs: jax.Array,
     targets: jax.Array,
@@ -209,10 +302,12 @@ def ctc_loss(
     blank_id: int = 0,
     reduction: str = "mean",
 ) -> jax.Array:
-    """Differentiable CTC loss — our own lattice scan, not a delegate to
-    an external kernel (the reference wraps ``nn.CTCLoss``, ``ctc.py:283``).
+    """Differentiable CTC loss — our own lattice scan (Pallas banded
+    kernels on TPU), not a delegate to an external kernel (the
+    reference wraps ``nn.CTCLoss``, ``ctc.py:283``). Gradients come
+    from the closed-form posterior VJP of :func:`_ctc_ll`.
     """
-    _, ll = ctc_forward_algorithm(
+    ll = _ctc_ll(
         log_probs, targets, input_lengths, target_lengths, blank_id
     )
     nll = -ll
@@ -244,10 +339,7 @@ def ctc_viterbi_alignment(
     s_idx = jnp.arange(S)[None, :]
     valid_pos = s_idx < (2 * target_lengths[:, None] + 1)
 
-    lp = jnp.take_along_axis(
-        log_probs.transpose(1, 0, 2), expanded[:, None, :].repeat(T, 1),
-        axis=2,
-    )
+    lp = _gather_emissions(log_probs, expanded)
 
     a0 = jnp.full((B, S), _NEG)
     a0 = a0.at[:, 0].set(lp[:, 0, 0])

@@ -1,0 +1,132 @@
+"""Pallas CTC banded-lattice kernel parity vs the XLA scans
+(interpret mode on the CPU conftest platform; the same code path
+compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_hmm_tpu.alignment.ctc import (
+    _NEG,
+    _lattice_masks,
+    ctc_backward_algorithm,
+    ctc_forward_algorithm,
+    expand_targets_with_blank,
+)
+from pytorch_hmm_tpu.ops.ctc_kernel import (
+    ctc_lattice_backward,
+    ctc_lattice_forward,
+    ctc_lattice_supported,
+)
+
+
+def _problem(B, T, C, U, seed, ragged=False):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(T, B, C)).astype(np.float32)
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    targets = jnp.asarray(rng.integers(1, C, size=(B, U)), jnp.int32)
+    if ragged:
+        in_lens = jnp.asarray(
+            rng.integers(max(2 * U + 1, T // 3), T + 1, size=B), jnp.int32
+        )
+        tgt_lens = jnp.asarray(rng.integers(1, U + 1, size=B), jnp.int32)
+    else:
+        in_lens = jnp.full((B,), T, jnp.int32)
+        tgt_lens = jnp.full((B,), U, jnp.int32)
+    return log_probs, targets, in_lens, tgt_lens
+
+
+def _tables(log_probs, targets, in_lens, tgt_lens):
+    """Build the kernel inputs exactly as ctc.py does."""
+    T, B, C = log_probs.shape
+    expanded = expand_targets_with_blank(targets, 0)
+    S = expanded.shape[1]
+    skip_ok = _lattice_masks(expanded, 0)
+    s_idx = jnp.arange(S)[None, :]
+    valid_pos = s_idx < (2 * tgt_lens[:, None] + 1)
+    lp = jnp.take_along_axis(
+        log_probs.transpose(1, 0, 2), expanded[:, None, :].repeat(T, 1),
+        axis=2,
+    )
+    a0 = jnp.full((B, S), _NEG)
+    a0 = a0.at[:, 0].set(lp[:, 0, 0])
+    a0 = a0.at[:, 1].set(jnp.where(tgt_lens > 0, lp[:, 0, 1], _NEG))
+    a0 = jnp.where(valid_pos, a0, _NEG)
+    exit1 = s_idx == (2 * tgt_lens)[:, None]
+    exit2 = s_idx == jnp.maximum(2 * tgt_lens - 1, 0)[:, None]
+    bT = jnp.where(exit1 | exit2, 0.0, _NEG)
+    skip_fwd = jnp.concatenate(
+        [skip_ok[:, 2:], jnp.zeros_like(skip_ok[:, :2])], axis=1
+    )
+    return lp, skip_ok, skip_fwd, valid_pos, a0, bT
+
+
+@pytest.mark.parametrize("B,T,C,U,seed,ragged", [
+    (4, 200, 20, 30, 0, False),
+    (3, 300, 12, 10, 1, True),
+    (2, 64, 8, 5, 2, True),       # short T, tiny lattice
+    (1, 128, 30, 63, 3, False),   # max supported lattice (127 lanes)
+])
+def test_ctc_kernels_match_xla(B, T, C, U, seed, ragged):
+    log_probs, targets, in_lens, tgt_lens = _problem(B, T, C, U, seed,
+                                                     ragged)
+    lp, skip_ok, skip_fwd, valid_pos, a0, bT = _tables(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    # XLA references (the dispatch picks XLA on the CPU platform).
+    al_x, ll_x = ctc_forward_algorithm(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    be_x = ctc_backward_algorithm(log_probs, targets, in_lens, tgt_lens)
+    # Kernels in interpret mode.
+    al_k = ctc_lattice_forward(
+        lp, jnp.where(skip_ok, 0.0, _NEG),
+        jnp.where(valid_pos, 0.0, _NEG), a0, in_lens,
+    )
+    be_k = ctc_lattice_backward(
+        lp, jnp.where(skip_fwd, 0.0, _NEG),
+        jnp.where(valid_pos, 0.0, _NEG), bT, in_lens,
+    )
+    # Compare only at meaningful cells (valid lattice positions within
+    # each row's length); masked cells hold ~-1e30 sentinels whose exact
+    # accumulation differs between implementations.
+    T_ = log_probs.shape[0]
+    m = (
+        np.asarray(valid_pos)[:, None, :]
+        & (np.arange(T_)[None, :, None] < np.asarray(in_lens)[:, None, None])
+    )
+    for k, x in ((al_k, al_x), (be_k, be_x)):
+        k, x = np.asarray(k), np.asarray(x)
+        sel = m & (x > -1e29)
+        np.testing.assert_allclose(k[sel], x[sel], atol=5e-4)
+
+
+def test_ctc_loss_grad_matches_autodiff_scan():
+    """The closed-form VJP must match differentiating through the XLA
+    scan (computed via a local scan-only loss)."""
+    from pytorch_hmm_tpu.alignment.ctc import ctc_loss
+
+    log_probs, targets, in_lens, tgt_lens = _problem(3, 120, 10, 8, 7,
+                                                     ragged=True)
+
+    def loss_cf(lp):
+        return ctc_loss(lp, targets, in_lens, tgt_lens, reduction="sum")
+
+    g_cf = jax.grad(loss_cf)(log_probs)
+    # autodiff through the scan path (forward algorithm directly)
+    def loss_ad(lp):
+        from pytorch_hmm_tpu.alignment.ctc import ctc_forward_algorithm
+        _, ll = ctc_forward_algorithm(lp, targets, in_lens, tgt_lens)
+        return -jnp.sum(ll)
+
+    g_ad = jax.grad(loss_ad)(log_probs)
+    np.testing.assert_allclose(
+        np.asarray(g_cf), np.asarray(g_ad), atol=1e-4
+    )
+
+
+def test_supported_predicate():
+    assert ctc_lattice_supported(101, 16)
+    assert not ctc_lattice_supported(200, 16)
+    assert not ctc_lattice_supported(101, 512)
