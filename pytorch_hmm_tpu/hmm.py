@@ -109,10 +109,18 @@ class HMM:
         obs, batched = self._batched(observations)
         log_obs = safe_log(obs)
         lengths = None if lengths is None else jnp.asarray(lengths)
-        log_gamma, log_alpha, log_beta, _ = core.forward_backward(
-            log_obs, self.log_P, self.log_p0, method=method,
-            lengths=lengths,
-        )
+        if method == "scan":
+            # TPU: transposed-layout Pallas kernels + conditioned gamma.
+            from .ops import auto_forward_backward
+
+            log_gamma, log_alpha, log_beta, _ = auto_forward_backward(
+                log_obs, self.log_P, self.log_p0, lengths
+            )
+        else:
+            log_gamma, log_alpha, log_beta, _ = core.forward_backward(
+                log_obs, self.log_P, self.log_p0, method=method,
+                lengths=lengths,
+            )
         out = (jnp.exp(log_gamma), jnp.exp(log_alpha), jnp.exp(log_beta))
         if lengths is not None:
             # The kernels freeze the carry past each row's length; the

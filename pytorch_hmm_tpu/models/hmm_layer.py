@@ -27,7 +27,8 @@ from flax import nnx
 
 from .. import core
 from ..core.semiring import safe_log
-from ..ops import auto_log_likelihood, auto_viterbi
+from ..ops import (auto_forward_backward, auto_log_likelihood,
+                   auto_viterbi)
 from ..emissions import gaussian_log_probs
 from ..utils import create_left_to_right_matrix, create_transition_matrix
 from .common import Buffer, TrainMode
@@ -115,7 +116,7 @@ class HMMLayer(TrainMode):
         log_a, log_pi = self._log_params()
 
         if self._training or not self.viterbi_inference:
-            log_gamma, *_ = core.forward_backward(log_obs, log_a, log_pi)
+            log_gamma, *_ = auto_forward_backward(log_obs, log_a, log_pi)
             posteriors = jnp.exp(log_gamma)
             if not batched:
                 posteriors = posteriors[0]
@@ -141,7 +142,7 @@ class HMMLayer(TrainMode):
         log_obs, _ = self._prep(observations)
         log_a, log_pi = self._log_params()
         if target_alignment is not None:
-            log_gamma, *_ = core.forward_backward(log_obs, log_a, log_pi)
+            log_gamma, *_ = auto_forward_backward(log_obs, log_a, log_pi)
             tgt = target_alignment.reshape(-1)
             lg = log_gamma.reshape(-1, self.num_states)
             return -jnp.mean(
@@ -227,7 +228,7 @@ class GaussianHMMLayer(TrainMode):
         log_obs = self._compute_gaussian_log_probs(obs)
         log_a, log_pi = self.hmm_layer._log_params()
         if self._training or not self.hmm_layer.viterbi_inference:
-            log_gamma, *_ = core.forward_backward(log_obs, log_a, log_pi)
+            log_gamma, *_ = auto_forward_backward(log_obs, log_a, log_pi)
             posteriors = jnp.exp(log_gamma)
         else:
             states, _ = auto_viterbi(log_obs, log_a, log_pi)

@@ -261,7 +261,9 @@ def _em_update(
             log_obs, log_a, log_pi, mesh
         )
     else:
-        log_gamma, log_alpha, log_beta, log_z = core.forward_backward(
+        from ..ops import auto_forward_backward
+
+        log_gamma, log_alpha, log_beta, log_z = auto_forward_backward(
             log_obs, log_a, log_pi
         )
     # Component responsibilities: r = γ_s · p(c | x, s).
