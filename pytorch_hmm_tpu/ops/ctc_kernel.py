@@ -44,13 +44,19 @@ __all__ = [
     "ctc_lattice_supported",
 ]
 
-_MAX_S = 128   # one lane tile: U <= 63 labels; longer falls back to XLA
+_MAX_S = 512   # lattice lanes (multi-tile rolls verified exact on hw)
 _MAX_B = 256
 _T_CHUNK = 128
+# 2 double-buffered (tc, Bs, Sp) streams must fit VMEM with headroom.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def ctc_lattice_supported(lattice_size: int, batch: int) -> bool:
-    return lattice_size <= _MAX_S and batch <= _MAX_B
+    if lattice_size > _MAX_S or batch > _MAX_B:
+        return False
+    Bs = _ceil_to(batch, SUBLANES)
+    Sp = _ceil_to(lattice_size, LANES)
+    return 2 * 2 * _T_CHUNK * Bs * Sp * 4 <= _VMEM_BUDGET
 
 
 def _lse3(a, b, c):

@@ -128,5 +128,7 @@ def test_ctc_loss_grad_matches_autodiff_scan():
 
 def test_supported_predicate():
     assert ctc_lattice_supported(101, 16)
-    assert not ctc_lattice_supported(200, 16)
+    assert ctc_lattice_supported(201, 16)    # multi-tile lattice
+    assert not ctc_lattice_supported(600, 16)  # beyond the lane budget
     assert not ctc_lattice_supported(101, 512)
+    assert not ctc_lattice_supported(512, 128)  # VMEM bound
