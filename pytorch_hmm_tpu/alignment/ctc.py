@@ -80,8 +80,11 @@ def _gather_emissions(log_probs: jax.Array, expanded: jax.Array) -> jax.Array:
     """
     C = log_probs.shape[-1]
     onehot = jax.nn.one_hot(expanded, C, dtype=log_probs.dtype)  # (B, S, C)
+    # Clamp first: the contraction sums 0 · x over non-selected entries,
+    # and 0 · (-inf) is NaN — masked vocabulary entries (-inf logits /
+    # log(0)) must land as the finite log(0) sentinel instead.
     return jnp.einsum(
-        "tbc,bsc->bts", log_probs, onehot,
+        "tbc,bsc->bts", jnp.maximum(log_probs, _NEG), onehot,
         precision=jax.lax.Precision.HIGHEST,
     )
 
@@ -95,19 +98,21 @@ def _shift2(x):
 
 
 def _use_ctc_kernels(lattice_size: int, batch: int) -> bool:
-    """Pallas banded-lattice kernels on TPU (checked at trace time)."""
-    import os
-
+    """Pallas banded-lattice kernels on TPU. Evaluated OUTSIDE the
+    jitted implementations (it selects a static arg), so the
+    ``PYTORCH_HMM_TPU_NO_PALLAS`` toggle stays live at call time for
+    direct callers; callers who wrap the CTC API in their own ``jit``
+    bake the choice in at their trace, like every dispatch here."""
+    from ..ops import _pallas_opt_out
     from ..ops.ctc_kernel import ctc_lattice_supported
 
     return (
-        os.environ.get("PYTORCH_HMM_TPU_NO_PALLAS") != "1"
+        not _pallas_opt_out()
         and jax.default_backend() == "tpu"
         and ctc_lattice_supported(lattice_size, batch)
     )
 
 
-@partial(jax.jit, static_argnames=("blank_id",))
 def ctc_forward_algorithm(
     log_probs: jax.Array,
     targets: jax.Array,
@@ -125,6 +130,18 @@ def ctc_forward_algorithm(
     Returns:
         ``(log_alpha (B, T, 2U+1), log_likelihood (B,))``.
     """
+    B, U = targets.shape
+    return _ctc_forward_impl(
+        log_probs, targets, input_lengths, target_lengths,
+        blank_id=blank_id, use_kernels=_use_ctc_kernels(2 * U + 1, B),
+    )
+
+
+@partial(jax.jit, static_argnames=("blank_id", "use_kernels"))
+def _ctc_forward_impl(
+    log_probs, targets, input_lengths, target_lengths,
+    blank_id: int, use_kernels: bool,
+):
     T, B, C = log_probs.shape
     expanded = expand_targets_with_blank(targets, blank_id)  # (B, S)
     S = expanded.shape[1]
@@ -139,7 +156,7 @@ def ctc_forward_algorithm(
     a0 = a0.at[:, 1].set(jnp.where(target_lengths > 0, lp[:, 0, 1], _NEG))
     a0 = jnp.where(valid_pos, a0, _NEG)
 
-    if _use_ctc_kernels(S, B):
+    if use_kernels:
         from ..ops.ctc_kernel import ctc_lattice_forward
 
         log_alpha = ctc_lattice_forward(
@@ -180,7 +197,6 @@ def ctc_forward_algorithm(
     return log_alpha, ll
 
 
-@partial(jax.jit, static_argnames=("blank_id",))
 def ctc_backward_algorithm(
     log_probs: jax.Array,
     targets: jax.Array,
@@ -189,6 +205,18 @@ def ctc_backward_algorithm(
     blank_id: int = 0,
 ) -> jax.Array:
     """CTC backward pass → ``log_beta (B, T, 2U+1)`` (``ctc.py:124-199``)."""
+    B, U = targets.shape
+    return _ctc_backward_impl(
+        log_probs, targets, input_lengths, target_lengths,
+        blank_id=blank_id, use_kernels=_use_ctc_kernels(2 * U + 1, B),
+    )
+
+
+@partial(jax.jit, static_argnames=("blank_id", "use_kernels"))
+def _ctc_backward_impl(
+    log_probs, targets, input_lengths, target_lengths,
+    blank_id: int, use_kernels: bool,
+):
     T, B, C = log_probs.shape
     expanded = expand_targets_with_blank(targets, blank_id)
     S = expanded.shape[1]
@@ -217,7 +245,7 @@ def ctc_backward_algorithm(
         [skip_ok[:, 2:], jnp.zeros_like(skip_ok[:, :2])], axis=1
     )
 
-    if _use_ctc_kernels(S, B):
+    if use_kernels:
         from ..ops.ctc_kernel import ctc_lattice_backward
 
         return ctc_lattice_backward(
