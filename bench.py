@@ -5,12 +5,16 @@ Prints ONE JSON line per config (headline LAST), each:
      "vs_baseline": <ours / reference RTX-3060 number>,
      "spread": {"min_ms": .., "p50_ms": .., "max_ms": ..}}
 
-Configs (BASELINE.json / VERDICT round-1 item 2):
+Configs (BASELINE.json / VERDICT round-1 item 2; 6-8 close the
+remaining BASELINE.md rows):
   1. MixtureGaussianHMM decode  B=32 T=1000 S=12 C=4 D=80  (ref 3.2 ms)
   2. HSMM decode                B=32 T=1000 S=10 D=20      (ref 3.5 ms)
   3. Streaming chunk step p50   chunk=160 S=12 D=80 beam   (ref 1.1 ms)
   4. NeuralHMM forward          B=16 T=1000 S=12 H=256     (ref 5.1 ms)
   5. Long-context forward       B=32 T=131072 K=64         (ref: cannot)
+  6. SemiMarkovHMM decode       B=24 T=800 S=10 D=20       (ref 4.2 ms)
+  7. CTC forced alignment       B=16 T=500 C=40 U=50       (ref 180x RT)
+  8. DTW alignment              500x500 frames, D=80       (ref 150x RT)
 
 Timing methodology: the remote-TPU runtime acknowledges dispatches
 asynchronously (``block_until_ready`` returns before execution), so each
@@ -190,6 +194,85 @@ def main():
         ))
     except Exception as e:  # pragma: no cover
         print(f"streaming bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- 6. SemiMarkovHMM decode (B=24, T=800, S=10, D=20; ref 4.2 ms) ----
+    try:
+        from pytorch_hmm_tpu.models import SemiMarkovHMM
+
+        smm = SemiMarkovHMM(
+            num_states=10, observation_dim=80, max_duration=20,
+            rngs=nnx.Rngs(0),
+        )
+        gd_s, st_s = nnx.split(smm)
+        obs = jax.random.normal(key, (24, 800, 80), jnp.float32)
+
+        def smm_decode(o):
+            m = nnx.merge(gd_s, st_s)
+            path, _, score = m.viterbi_decode(o)
+            return jnp.sum(score) + jnp.sum(path[:, -1])
+
+        lat = measure(smm_decode, obs, 64)
+        lines.append(emit(
+            "semi_markov_decode_rtf_b24_T800_s10_d20", lat,
+            24 * 800 * FRAME_SEC, 4.2e-3,
+        ))
+    except Exception as e:  # pragma: no cover
+        print(f"semi-markov bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- 7. CTC forced alignment (B=16, T=500, C=40, U=50; ref 180x RT) --
+    try:
+        from pytorch_hmm_tpu.alignment import ctc_viterbi_alignment
+
+        B_c, T_c, C_c, U_c = 16, 500, 40, 50
+        lp = jax.nn.log_softmax(
+            jax.random.normal(key, (T_c, B_c, C_c), jnp.float32), axis=-1
+        )
+        targets = (
+            jax.random.randint(key, (B_c, U_c), 1, C_c)
+        ).astype(jnp.int32)
+        in_lens = jnp.full((B_c,), T_c, jnp.int32)
+        tgt_lens = jnp.full((B_c,), U_c, jnp.int32)
+
+        def ctc_align(x):
+            ali, score = ctc_viterbi_alignment(
+                x, targets, in_lens, tgt_lens
+            )
+            return jnp.sum(score) + jnp.sum(ali[:, -1])
+
+        lat = measure(ctc_align, lp, 64)
+        # Reference: 180x real time on RTX 3060 (PERFORMANCE.md:22).
+        lines.append(emit(
+            "ctc_forced_alignment_rtf_b16_T500_c40_u50", lat,
+            B_c * T_c * FRAME_SEC, None, ref_rtf_base=180.0,
+        ))
+    except Exception as e:  # pragma: no cover
+        print(f"ctc bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- 8. DTW alignment (500x500 frames, D=80; ref 150x RT) ----
+    try:
+        from pytorch_hmm_tpu.alignment import compute_distance_matrix
+        from pytorch_hmm_tpu.alignment.dtw import _backtrace, _dtw_wavefront
+
+        x_d = jax.random.normal(key, (500, 80), jnp.float32)
+        y_d = jax.random.normal(jax.random.PRNGKey(7), (500, 80), jnp.float32)
+
+        # Full alignment (cost + path) via the jit-composable pieces —
+        # ``dtw_alignment`` itself trims the path host-side.
+        def dtw_fn(x):
+            dist = compute_distance_matrix(x, y_d)
+            cost, choices = _dtw_wavefront(dist)
+            pi, pj, length = _backtrace(choices)
+            return (cost[-1, -1] + jnp.sum(pi[-1] + pj[-1])
+                    + length.astype(jnp.float32))
+
+        lat = measure(dtw_fn, x_d, 16)
+        # Reference: 150x real time on RTX 3060 (PERFORMANCE.md:21).
+        lines.append(emit(
+            "dtw_alignment_rtf_T500x500_d80", lat,
+            500 * FRAME_SEC, None, ref_rtf_base=150.0,
+        ))
+    except Exception as e:  # pragma: no cover
+        print(f"dtw bench failed: {e!r}", file=sys.stderr, flush=True)
 
     # ---- 4. NeuralHMM forward (B=16, T=1000, S=12, H=256; ref 5.1 ms) ----
     try:
