@@ -251,18 +251,18 @@ def main():
     # ---- 8. DTW alignment (500x500 frames, D=80; ref 150x RT) ----
     try:
         from pytorch_hmm_tpu.alignment import compute_distance_matrix
-        from pytorch_hmm_tpu.alignment.dtw import _backtrace, _dtw_wavefront
+        from pytorch_hmm_tpu.alignment.dtw import dtw_path_padded
 
         x_d = jax.random.normal(key, (500, 80), jnp.float32)
         y_d = jax.random.normal(jax.random.PRNGKey(7), (500, 80), jnp.float32)
 
-        # Full alignment (cost + path) via the jit-composable pieces —
-        # ``dtw_alignment`` itself trims the path host-side.
+        # Full alignment (cost + path) via the jit-composable fast path
+        # (Pallas wavefront kernel on TPU) — ``dtw_alignment`` itself
+        # trims the path host-side.
         def dtw_fn(x):
             dist = compute_distance_matrix(x, y_d)
-            cost, choices = _dtw_wavefront(dist)
-            pi, pj, length = _backtrace(choices)
-            return (cost[-1, -1] + jnp.sum(pi[-1] + pj[-1])
+            pi, pj, length, cost = dtw_path_padded(dist)
+            return (cost + jnp.sum(pi[-1] + pj[-1])
                     + length.astype(jnp.float32))
 
         lat = measure(dtw_fn, x_d, 16)

@@ -39,6 +39,7 @@ from flax import nnx
 __all__ = [
     "compute_distance_matrix",
     "compute_dtw_path",
+    "dtw_path_padded",
     "dtw_distance",
     "dtw_alignment",
     "soft_dtw",
@@ -150,13 +151,45 @@ def compute_dtw_path(
     """DTW path + cost matrix (``dtw.py:47-152``).
 
     Returns ``(path_i, path_j, cost_matrix)`` with the path trimmed to its
-    true length (host-side; use ``_dtw_wavefront``/``_backtrace`` directly
-    for fully-jitted pipelines).
+    true length (host-side; use :func:`dtw_path_padded` for fully-jitted
+    pipelines — it also dispatches to the Pallas kernel on TPU).
     """
     cost, choices = _dtw_wavefront(distance_matrix, step_pattern)
     pi, pj, length = _backtrace(choices)
     n_pad = pi.shape[0] - int(length)
     return pi[n_pad:], pj[n_pad:], cost
+
+
+def _use_dtw_kernel(n: int, m: int) -> bool:
+    import os
+
+    from ..ops.dtw import pallas_dtw_supported
+
+    return (
+        os.environ.get("PYTORCH_HMM_TPU_NO_PALLAS") != "1"
+        and jax.default_backend() == "tpu"
+        and pallas_dtw_supported(n, m)
+    )
+
+
+def dtw_path_padded(
+    dist: jax.Array, step_pattern: str = "symmetric"
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Jit-composable DTW: ``(path_i, path_j, length, final_cost)``.
+
+    The paths have fixed length N+M-1 with the leading entries frozen at
+    (0, 0); the true path occupies the last ``length`` entries. On TPU
+    this runs the single-program Pallas wavefront+backtrace kernel
+    (``ops/dtw.py``, ~50x the XLA scan at 500x500); elsewhere the XLA
+    anti-diagonal scan. Outputs are bit-identical on both paths.
+    """
+    if _use_dtw_kernel(*dist.shape):
+        from ..ops.dtw import pallas_dtw
+
+        return pallas_dtw(dist, step_pattern)
+    cost, choices = _dtw_wavefront(dist, step_pattern)
+    pi, pj, length = _backtrace(choices)
+    return pi, pj, length, cost[-1, -1]
 
 
 def dtw_distance(
@@ -167,6 +200,10 @@ def dtw_distance(
 ) -> jax.Array:
     """Scalar DTW distance (``dtw.py:155-176``)."""
     dist = compute_distance_matrix(x, y, distance_fn)
+    if _use_dtw_kernel(*dist.shape):
+        from ..ops.dtw import pallas_dtw
+
+        return pallas_dtw(dist, step_pattern)[3]
     cost, _ = _dtw_wavefront(dist, step_pattern)
     return cost[-1, -1]
 
@@ -179,8 +216,9 @@ def dtw_alignment(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """``(path_i, path_j, total_cost)`` (``dtw.py:179-202``)."""
     dist = compute_distance_matrix(x, y, distance_fn)
-    pi, pj, cost = compute_dtw_path(dist, step_pattern)
-    return pi, pj, cost[-1, -1]
+    pi, pj, length, cost = dtw_path_padded(dist, step_pattern)
+    n_pad = pi.shape[0] - int(length)
+    return pi[n_pad:], pj[n_pad:], cost
 
 
 # ---------------------------------------------------------------------------
@@ -289,8 +327,9 @@ class DTWAligner(nnx.Module):
             pi = jnp.arange(x.shape[0])
             pj = jnp.argmax(align, axis=1)
             return pi, pj, cost
-        pi, pj, cost = compute_dtw_path(dist, self.step_pattern)
-        return pi, pj, cost[-1, -1]
+        pi, pj, length, cost = dtw_path_padded(dist, self.step_pattern)
+        n_pad = pi.shape[0] - int(length)
+        return pi[n_pad:], pj[n_pad:], cost
 
     def __call__(self, x: jax.Array, y: jax.Array):
         """``(path_i, path_j, cost)``; lists of paths for batched input
