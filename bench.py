@@ -98,14 +98,36 @@ def main():
             return time.perf_counter() - t0
 
         timed(reps)  # compile both once
+
+        # Estimator hygiene (VERDICT r2 item 7): a chained difference
+        # time(2R) - time(R) is only meaningful when the 2R run actually
+        # took longer than the R run by a sane margin. Host scheduling /
+        # tunnel jitter occasionally produces a non-monotone or near-zero
+        # difference (r2's neural row: min 0.018 ms vs p50 0.301 ms, a
+        # physically impossible 16x). Reject any trial whose difference
+        # is < 25% of the per-rep cost implied by the 2R run alone, and
+        # keep sampling (bounded) until TRIALS clean samples exist.
         lats = []
-        for _ in range(TRIALS):
-            lats.append(max(timed(2 * reps) - timed(reps), 1e-9) / reps)
+        rejected = 0
+        attempts = 0
+        while len(lats) < TRIALS and attempts < 4 * TRIALS:
+            attempts += 1
+            t_r = timed(reps)
+            t_2r = timed(2 * reps)
+            diff = (t_2r - t_r) / reps
+            if diff < 0.25 * (t_2r / (2 * reps)):
+                rejected += 1
+                continue
+            lats.append(diff)
+        if not lats:  # pathological host: fall back to raw 2R estimate
+            lats = [timed(2 * reps) / (2 * reps) for _ in range(TRIALS)]
         lats.sort()
         return {
             "min": lats[0],
             "p50": lats[len(lats) // 2],
             "max": lats[-1],
+            "trials": len(lats),
+            "rejected": rejected,
         }
 
     def emit(name, lat, audio_sec, ref_latency_sec, ref_rtf_base=None):
@@ -123,6 +145,8 @@ def main():
                 "min_ms": round(lat["min"] * 1e3, 4),
                 "p50_ms": round(lat["p50"] * 1e3, 4),
                 "max_ms": round(lat["max"] * 1e3, 4),
+                "trials": lat.get("trials", TRIALS),
+                "rejected": lat.get("rejected", 0),
             },
         }
         print(

@@ -73,10 +73,8 @@ def forward_log(
     B, T, K = log_obs.shape
     la0 = log_pi + log_obs[:, 0]  # (B, K) via broadcast if log_pi is (K,)
 
-    # The associative formulation has no masking hooks; padded batches
-    # must take the sequential path for correct results.
-    if method == "associative" and lengths is None:
-        log_alpha = _forward_associative(log_obs, log_a, la0)
+    if method == "associative":
+        log_alpha = _forward_associative(log_obs, log_a, la0, lengths)
     else:
         tv = _time_varying(log_a)
 
@@ -108,13 +106,25 @@ def forward_log(
     return log_alpha, log_z
 
 
-def _forward_associative(log_obs, log_a, la0):
+def _semiring_identity(K, dtype):
+    """Identity element of the (logsumexp, +) matrix semiring: diag 0,
+    off-diagonal ~-inf (finite -1e30 so reductions never see inf-inf)."""
+    return jnp.where(jnp.eye(K, dtype=bool), 0.0, -1e30).astype(dtype)
+
+
+def _forward_associative(log_obs, log_a, la0, lengths=None):
     """All-prefix forward via associative scan in the log-matmul semiring.
 
     Element t (t >= 1) is the matrix ``M_t[i, j] = log_a[i, j] + log_obs[t, j]``;
     the prefix product applied to ``alpha_0`` yields every ``alpha_t`` at
     O(log T) depth. We fold ``alpha_0`` in as a rank-1 first element so a
     single scan produces all prefixes.
+
+    Ragged batches (VERDICT r2 item 5): steps into padded frames
+    (``t >= lengths[b]``) are semiring identity matrices, freezing alpha
+    at its final valid value — the same freeze semantics as the
+    sequential path's masked carry (values agree to reduction-order
+    rounding, since the scan tree reassociates logsumexp).
     """
     B, T, K = log_obs.shape
     if _time_varying(log_a):
@@ -125,6 +135,10 @@ def _forward_associative(log_obs, log_a, la0):
     # product equals log alpha_t.
     m0 = jnp.broadcast_to(la0[:, None, None, :], (B, 1, K, K))
     m = jnp.concatenate([m0, m], axis=1)  # (B, T, K, K)
+    if lengths is not None:
+        pad = jnp.arange(T)[None, :] >= lengths[:, None]  # (B, T)
+        eye = _semiring_identity(K, log_obs.dtype)
+        m = jnp.where(pad[:, :, None, None], eye[None, None], m)
     prefixes = jax.lax.associative_scan(log_matmul, m, axis=1)
     return prefixes[:, :, 0, :]  # (B, T, K)
 
@@ -145,9 +159,8 @@ def backward_log(
     B, T, K = log_obs.shape
     bT = jnp.zeros((B, K), log_obs.dtype)
 
-    # See forward_log: padded batches force the sequential path.
-    if method == "associative" and lengths is None:
-        return _backward_associative(log_obs, log_a)
+    if method == "associative":
+        return _backward_associative(log_obs, log_a, lengths)
 
     tv = _time_varying(log_a)
 
@@ -172,7 +185,7 @@ def backward_log(
     return jnp.concatenate([rest.swapaxes(0, 1), bT[:, None]], axis=1)
 
 
-def _backward_associative(log_obs, log_a):
+def _backward_associative(log_obs, log_a, lengths=None):
     B, T, K = log_obs.shape
     if _time_varying(log_a):
         m = log_a[:, 1:] + log_obs[:, 1:, None, :]
@@ -180,6 +193,14 @@ def _backward_associative(log_obs, log_a):
         m = jnp.broadcast_to(
             log_a[None, None] + log_obs[:, 1:, None, :], (B, T - 1, K, K)
         )
+    if lengths is not None:
+        # Steps into padded frames (global index t >= lengths[b]; m[t-1]
+        # is the step into frame t) become semiring identities, so
+        # beta_t = 0 for every t >= lengths[b]-1, matching the sequential
+        # masked recursion.
+        pad = jnp.arange(1, T)[None, :] >= lengths[:, None]  # (B, T-1)
+        eye = _semiring_identity(K, log_obs.dtype)
+        m = jnp.where(pad[:, :, None, None], eye[None, None], m)
     # Suffix products: reverse associative scan; beta_t = M_{t+1} ⊗ ... ⊗ M_{T-1} 1
     # Append an all-zero column vector as a rank-1 final element.
     mT = jnp.zeros((B, 1, K, K), log_obs.dtype)

@@ -25,18 +25,19 @@ _FORMAT = "%(asctime)s %(levelname).1s %(name)s] %(message)s"
 class _MainProcessFilter(logging.Filter):
     """Demote sub-INFO records on non-zero processes — lazily.
 
-    The process check runs at *emit* time and only once a backend
-    already exists: calling ``jax.process_index()`` eagerly would
-    initialize the XLA backend, which must not happen at import time
+    The process check runs at *emit* time, guarded by the public
+    ``jax.distributed.is_initialized()`` (which never initializes the
+    XLA backend itself): calling ``jax.process_index()`` eagerly would
+    initialize the backend, which must not happen at import time
     (``jax.distributed.initialize`` requires a pristine process).
     """
 
     def filter(self, record: logging.LogRecord) -> bool:
         if record.levelno >= logging.WARNING:
             return True
-        if not getattr(jax._src.xla_bridge, "_backends", None):
-            return True  # backend not up yet: can't be a multi-host run
         try:
+            if not jax.distributed.is_initialized():
+                return True  # single-process run: always process 0
             return jax.process_index() == 0
         except RuntimeError:  # pragma: no cover - uninitialized distributed
             return True

@@ -111,6 +111,38 @@ class TestForwardBackward:
         assert np.all(np.isfinite(g))
         assert np.abs(g).sum() > 0
 
+    @pytest.mark.parametrize("time_varying", [False, True])
+    def test_associative_lengths_matches_scan(self, problem, time_varying):
+        """Ragged batches on the O(log T) path (VERDICT r2 item 5):
+        identity-operator padding must reproduce the sequential masked
+        recursion for alpha, beta, gamma, and log_z."""
+        p, pi, obs = problem
+        log_obs, log_a, log_pi = _logs(p, pi, obs)
+        if time_varying:
+            rng = np.random.default_rng(5)
+            a_t = rng.random((B, T, K, K)) + 0.1
+            log_a = np.log(a_t / a_t.sum(-1, keepdims=True)).astype(
+                np.float32
+            )
+        lengths = jnp.asarray([T, T - 5, 4])
+        seq = core.forward_backward(
+            jnp.asarray(log_obs), jnp.asarray(log_a), jnp.asarray(log_pi),
+            lengths=lengths, method="scan",
+        )
+        par = core.forward_backward(
+            jnp.asarray(log_obs), jnp.asarray(log_a), jnp.asarray(log_pi),
+            lengths=lengths, method="associative",
+        )
+        # Compare only valid frames (padded frames carry frozen/garbage
+        # posteriors by contract on both paths).
+        for b, L in enumerate([T, T - 5, 4]):
+            for s, a in zip(seq, par):
+                if s.ndim == 3:
+                    np.testing.assert_allclose(
+                        s[b, :L], a[b, :L], rtol=2e-4, atol=1e-4
+                    )
+        np.testing.assert_allclose(seq[3], par[3], rtol=1e-5)
+
 
 class TestViterbi:
     def test_matches_oracle(self, problem):

@@ -31,3 +31,23 @@ def test_package_import_is_backend_free():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "BACKEND_FREE" in r.stdout
+
+
+def test_no_private_jax_api_in_library():
+    """The library must not touch ``jax._src`` (VERDICT r2 item 10):
+    private internals move between JAX releases. (This test file's own
+    subprocess probe is the one sanctioned use — it inspects JAX state
+    from the *outside* and is trivially fixable if it ever breaks.)"""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo_root, "pytorch_hmm_tpu")
+    offenders = []
+    for dirpath, _dirnames, filenames in os.walk(pkg):
+        for fn in filenames:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                for lineno, line in enumerate(f, 1):
+                    if "jax._src" in line:
+                        offenders.append(f"{path}:{lineno}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
