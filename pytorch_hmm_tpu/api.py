@@ -25,6 +25,7 @@ from typing import Any, Dict, Optional
 import jax
 from flax import nnx
 
+from . import precision
 from .models import HSMMLayer, MixtureGaussianHMMLayer
 from .streaming import StreamingHMMProcessor
 from .utils import (
@@ -54,6 +55,12 @@ class Config:
 
     Unlike the reference's class-attribute global, this is a plain
     dataclass; ``pytorch_hmm_tpu.config`` is the default instance.
+
+    ``USE_MIXED_PRECISION`` and ``USE_CHECKPOINTING`` are LIVE flags
+    (the reference declares them and never reads them, reference
+    ``__init__.py:198-205``): they delegate to :mod:`..precision`,
+    which emission scoring and gradient paths consult at trace time.
+    See ``precision.py`` for semantics and error bounds.
     """
 
     EPS: float = 1e-8
@@ -63,8 +70,6 @@ class Config:
     # the time axis); this mirrors the reference field for compatibility
     # and is advisory only.
     MAX_SEQUENCE_LENGTH: int = 100_000
-    USE_MIXED_PRECISION: bool = True
-    USE_CHECKPOINTING: bool = True
     # Resolved lazily: reading the backend at import time would
     # initialize XLA before multihost jax.distributed.initialize runs.
     _platform: str = ""
@@ -74,6 +79,22 @@ class Config:
         if not self._platform:
             self._platform = jax.default_backend()
         return self._platform
+
+    @property
+    def USE_MIXED_PRECISION(self) -> bool:
+        return precision.mixed_precision_enabled()
+
+    @USE_MIXED_PRECISION.setter
+    def USE_MIXED_PRECISION(self, enabled: bool):
+        precision.set_mixed_precision(enabled)
+
+    @property
+    def USE_CHECKPOINTING(self) -> bool:
+        return precision.checkpointing_enabled()
+
+    @USE_CHECKPOINTING.setter
+    def USE_CHECKPOINTING(self, enabled: bool):
+        precision.set_checkpointing(enabled)
 
     def set_device(self, device: str):
         self._platform = device

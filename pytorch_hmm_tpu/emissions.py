@@ -13,6 +13,12 @@ form is expanded so scoring becomes two ``(B·T, D) × (D, S·C)`` matmuls::
 which XLA tiles straight onto the MXU; the per-state/component terms are
 rank-1 corrections. Full covariance goes through precomputed inverse
 Cholesky factors with time-chunked evaluation to bound memory.
+
+Mixed precision: every function takes ``compute_dtype`` (default
+``None`` = resolve from the live ``USE_MIXED_PRECISION`` flag, see
+``precision.py``). The big contractions run at that dtype on the MXU
+with float32 accumulation; returned log-probs are always float32 so the
+DP recursions never carry bf16.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .core.semiring import logsumexp
+from .precision import mxu_einsum
 
 __all__ = [
     "diag_gaussian_log_probs",
@@ -42,34 +49,40 @@ _LOG_2PI = math.log(2.0 * math.pi)
 # ---------------------------------------------------------------------------
 
 def diag_gaussian_log_probs(
-    obs: jax.Array, means: jax.Array, log_vars: jax.Array
+    obs: jax.Array, means: jax.Array, log_vars: jax.Array,
+    compute_dtype=None,
 ) -> jax.Array:
     """Diagonal-covariance Gaussian scores.
 
     Args:
         obs: ``(B, T, D)``; means: ``(..., K, D)``; log_vars: ``(..., K, D)``.
+        compute_dtype: contraction dtype (None → precision policy).
     Returns:
-        ``(B, T, K)`` log N(obs; mean_k, diag(exp(log_vars_k))).
+        ``(B, T, K)`` log N(obs; mean_k, diag(exp(log_vars_k))) in f32.
     """
     D = obs.shape[-1]
     inv_var = jnp.exp(-log_vars)  # (K, D)
-    # Quadratic-form expansion → MXU matmuls.
-    xx = jnp.einsum("btd,kd->btk", obs * obs, inv_var)
-    xm = jnp.einsum("btd,kd->btk", obs, means * inv_var)
-    mm = jnp.sum(means * means * inv_var, axis=-1)  # (K,)
+    # Quadratic-form expansion → MXU matmuls. obs*obs is squared in f32
+    # BEFORE any bf16 cast (squaring rounded values doubles the error).
+    xx = mxu_einsum("btd,kd->btk", obs * obs, inv_var, dtype=compute_dtype)
+    xm = mxu_einsum(
+        "btd,kd->btk", obs, means * inv_var, dtype=compute_dtype
+    )
+    mm = jnp.sum(means * means * inv_var, axis=-1)  # (K,) — stays f32
     log_norm = -0.5 * (D * _LOG_2PI + jnp.sum(log_vars, axis=-1))
     return log_norm - 0.5 * (xx - 2.0 * xm + mm)
 
 
 def spherical_gaussian_log_probs(
-    obs: jax.Array, means: jax.Array, log_vars: jax.Array
+    obs: jax.Array, means: jax.Array, log_vars: jax.Array,
+    compute_dtype=None,
 ) -> jax.Array:
     """Isotropic Gaussian scores. ``log_vars`` has shape ``(K,)`` (σ² shared
     over dimensions)."""
     D = obs.shape[-1]
     inv_var = jnp.exp(-log_vars)  # (K,)
-    x2 = jnp.sum(obs * obs, axis=-1)  # (B, T)
-    xm = jnp.einsum("btd,kd->btk", obs, means)
+    x2 = jnp.sum(obs * obs, axis=-1)  # (B, T) — f32
+    xm = mxu_einsum("btd,kd->btk", obs, means, dtype=compute_dtype)
     m2 = jnp.sum(means * means, axis=-1)  # (K,)
     mahal = (x2[..., None] - 2.0 * xm + m2) * inv_var
     log_norm = -0.5 * D * (_LOG_2PI + log_vars)
@@ -81,6 +94,7 @@ def full_gaussian_log_probs(
     means: jax.Array,
     chol: jax.Array,
     time_chunk: int = 128,
+    compute_dtype=None,
 ) -> jax.Array:
     """Full-covariance Gaussian scores via inverse Cholesky factors.
 
@@ -111,8 +125,10 @@ def full_gaussian_log_probs(
     chunks = obs_p.reshape(B, n_chunks, time_chunk, D).swapaxes(0, 1)
 
     def score_chunk(x):
-        # z = L^{-1} x : (B, τ, K, D) — bounded by the chunk size.
-        z = jnp.einsum("btd,ked->btke", x, inv_chol)
+        # z = L^{-1} x : (B, τ, K, D) — bounded by the chunk size. The
+        # whitening contraction is the FLOPs hot spot (B·τ·K·D² MACs);
+        # it runs at the precision-policy dtype with f32 accumulation.
+        z = mxu_einsum("btd,ked->btke", x, inv_chol, dtype=compute_dtype)
         mahal = jnp.sum((z - wm[None, None]) ** 2, axis=-1)
         return log_norm[None, None] - 0.5 * mahal
 
@@ -126,20 +142,27 @@ def gaussian_log_probs(
     means: jax.Array,
     log_scales: jax.Array,
     covariance_type: str = "diag",
+    compute_dtype=None,
 ) -> jax.Array:
     """Dispatch matching GaussianHMMLayer's parameterization: ``log_scales``
     is the log *standard deviation* (``hmm_layer.py:270-323`` uses
     ``log_var = 2 * log_scales``)."""
     if covariance_type == "diag":
-        return diag_gaussian_log_probs(obs, means, 2.0 * log_scales)
+        return diag_gaussian_log_probs(
+            obs, means, 2.0 * log_scales, compute_dtype
+        )
     if covariance_type == "spherical":
-        return spherical_gaussian_log_probs(obs, means, 2.0 * log_scales[..., 0])
+        return spherical_gaussian_log_probs(
+            obs, means, 2.0 * log_scales[..., 0], compute_dtype
+        )
     if covariance_type == "full":
         # log_scales: (K, D, D) raw; build a valid Cholesky factor.
         tril = jnp.tril(log_scales, k=-1)
         diag = jnp.exp(jnp.diagonal(log_scales, axis1=-2, axis2=-1))
         chol = tril + jax.vmap(jnp.diag)(diag)
-        return full_gaussian_log_probs(obs, means, chol)
+        return full_gaussian_log_probs(
+            obs, means, chol, compute_dtype=compute_dtype
+        )
     raise ValueError(f"Unknown covariance_type: {covariance_type}")
 
 
@@ -171,6 +194,7 @@ def gmm_component_log_probs(
     cov_params: jax.Array,
     covariance_type: str = "diag",
     time_chunk: int = 128,
+    compute_dtype=None,
 ) -> jax.Array:
     """Per-component Gaussian scores ``(B, T, S, C)``.
 
@@ -185,23 +209,30 @@ def gmm_component_log_probs(
     if covariance_type == "diag":
         m2 = means.reshape(S * C, D)
         lv2 = cov_params.reshape(S * C, D)
-        return diag_gaussian_log_probs(obs, m2, lv2).reshape(B, T, S, C)
+        return diag_gaussian_log_probs(
+            obs, m2, lv2, compute_dtype
+        ).reshape(B, T, S, C)
 
     if covariance_type == "tied":
         # One diagonal covariance shared across all states/components.
         m2 = means.reshape(S * C, D)
         lv2 = jnp.broadcast_to(cov_params, (S * C, D))
-        return diag_gaussian_log_probs(obs, m2, lv2).reshape(B, T, S, C)
+        return diag_gaussian_log_probs(
+            obs, m2, lv2, compute_dtype
+        ).reshape(B, T, S, C)
 
     if covariance_type == "spherical":
         m2 = means.reshape(S * C, D)
         lv2 = cov_params.reshape(S * C)
-        return spherical_gaussian_log_probs(obs, m2, lv2).reshape(B, T, S, C)
+        return spherical_gaussian_log_probs(
+            obs, m2, lv2, compute_dtype
+        ).reshape(B, T, S, C)
 
     if covariance_type == "full":
         chol = tril_from_flat(cov_params.reshape(S * C, -1), D)
         out = full_gaussian_log_probs(
-            obs, means.reshape(S * C, D), chol, time_chunk=time_chunk
+            obs, means.reshape(S * C, D), chol, time_chunk=time_chunk,
+            compute_dtype=compute_dtype,
         )
         return out.reshape(B, T, S, C)
 
@@ -215,12 +246,13 @@ def gmm_log_probs(
     mixture_logits: jax.Array,
     covariance_type: str = "diag",
     time_chunk: int = 128,
+    compute_dtype=None,
 ) -> jax.Array:
     """Mixture-marginalized state scores ``(B, T, S)``:
     ``logsumexp_c(log w_{s,c} + log N_c(x))`` (``mixture_gaussian.py:192-196``).
     """
     comp = gmm_component_log_probs(
-        obs, means, cov_params, covariance_type, time_chunk
+        obs, means, cov_params, covariance_type, time_chunk, compute_dtype
     )
     log_w = jax.nn.log_softmax(mixture_logits, axis=-1)  # (S, C)
     return logsumexp(comp + log_w[None, None], axis=-1)

@@ -30,6 +30,7 @@ from ..core.semiring import safe_log
 from ..ops import (auto_forward_backward, auto_log_likelihood,
                    auto_viterbi)
 from ..emissions import gaussian_log_probs
+from ..precision import maybe_remat
 from ..utils import create_left_to_right_matrix, create_transition_matrix
 from .common import Buffer, TrainMode
 
@@ -239,8 +240,20 @@ class GaussianHMMLayer(TrainMode):
 
     def compute_loss(self, observations: jax.Array) -> jax.Array:
         """Negative mean log-likelihood (``hmm_layer.py:342-359``), computed
-        in log space without the reference's exp/log round trip."""
+        in log space without the reference's exp/log round trip.
+
+        With ``Config.USE_CHECKPOINTING`` on, the ``(B, T, K)`` emission
+        scores are rematerialized in the backward pass instead of held
+        across it (``precision.maybe_remat``)."""
         obs = observations if observations.ndim == 3 else observations[None]
-        log_obs = self._compute_gaussian_log_probs(obs)
+
+        def _score(o, means, log_scales):
+            return gaussian_log_probs(
+                o, means, log_scales, self.covariance_type
+            )
+
+        log_obs = maybe_remat(_score)(
+            obs, self.means[...], self.log_scales[...]
+        )
         log_a, log_pi = self.hmm_layer._log_params()
         return -jnp.mean(auto_log_likelihood(log_obs, log_a, log_pi))

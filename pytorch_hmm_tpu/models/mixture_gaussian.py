@@ -29,8 +29,9 @@ from flax import nnx
 
 from .. import core
 from ..core.semiring import logsumexp, safe_log
-from ..ops import auto_gmm_viterbi, auto_log_likelihood, auto_viterbi
+from ..ops import auto_gmm_viterbi, auto_log_likelihood
 from ..emissions import flat_dim, gmm_component_log_probs, tril_from_flat
+from ..precision import maybe_remat
 from .common import Buffer, TrainMode
 
 __all__ = ["MixtureGaussianHMMLayer"]
@@ -139,21 +140,17 @@ class MixtureGaussianHMMLayer(TrainMode):
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Viterbi decode: ``(decoded_states (B, T), seq_log_probs (B,)|None)``
         (``mixture_gaussian.py:340-365``). ``lengths`` masks ragged batches
-        (padded frames repeat each row's final valid state)."""
-        if self.covariance_type == "diag":
-            # Flagship fast path: single fused Pallas kernel on TPU.
-            log_w = jax.nn.log_softmax(
-                self.mixture_weights_logits[...], axis=-1
-            )
-            states, score = auto_gmm_viterbi(
-                observations, self.means[...], self.cov_params[...], log_w,
-                self._log_a(), self._log_pi(), lengths,
-            )
-        else:
-            log_obs = self.get_observation_log_probs(observations)
-            states, score = auto_viterbi(
-                log_obs, self._log_a(), self._log_pi(), lengths
-            )
+        (padded frames repeat each row's final valid state). Every
+        covariance family routes through the TPU fast path
+        (``auto_gmm_viterbi``)."""
+        log_w = jax.nn.log_softmax(
+            self.mixture_weights_logits[...], axis=-1
+        )
+        states, score = auto_gmm_viterbi(
+            observations, self.means[...], self.cov_params[...], log_w,
+            self._log_a(), self._log_pi(), lengths,
+            covariance_type=self.covariance_type,
+        )
         return (states, score) if return_log_probs else (states, None)
 
     forward = __call__
@@ -161,8 +158,23 @@ class MixtureGaussianHMMLayer(TrainMode):
     def log_likelihood(
         self, observations: jax.Array, lengths: Optional[jax.Array] = None
     ) -> jax.Array:
-        """Marginal sequence log-likelihood ``(B,)`` via the forward pass."""
-        log_obs = self.get_observation_log_probs(observations)
+        """Marginal sequence log-likelihood ``(B,)`` via the forward pass.
+
+        With ``Config.USE_CHECKPOINTING`` on, the ``(B, T, S, C)``
+        component scores are rematerialized in the backward pass
+        (``precision.maybe_remat``) instead of stored across it."""
+
+        def _score(o, means, cov_params, mixture_logits):
+            comp = gmm_component_log_probs(
+                o, means, cov_params, self.covariance_type
+            )
+            log_w = jax.nn.log_softmax(mixture_logits, axis=-1)
+            return logsumexp(comp + log_w[None, None], axis=-1)
+
+        log_obs = maybe_remat(_score)(
+            observations, self.means[...], self.cov_params[...],
+            self.mixture_weights_logits[...],
+        )
         return auto_log_likelihood(
             log_obs, self._log_a(), self._log_pi(), lengths
         )

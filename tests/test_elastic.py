@@ -18,6 +18,12 @@ import optax
 import pytest
 from flax import nnx
 
+pytestmark = [
+    pytest.mark.slow,  # kill/resume drills spawn training subprocesses
+    pytest.mark.multiprocess,
+    pytest.mark.xdist_group("procs"),
+]
+
 from pytorch_hmm_tpu.models import GaussianHMMLayer
 from pytorch_hmm_tpu.parallel.elastic import (
     ElasticTrainer,

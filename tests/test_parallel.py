@@ -189,6 +189,9 @@ def test_sharded_hsmm_likelihood_gradient_matches(hsmm_sharded_problem):
 # Two-process multihost smoke test (real jax.distributed local cluster)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
+@pytest.mark.multiprocess
+@pytest.mark.xdist_group("procs")
 def test_multihost_two_process_smoke(tmp_path):
     """Drive initialize_multihost + global_mesh + a sharded forward pass
     across a real two-process jax.distributed CPU cluster. Exercises the
