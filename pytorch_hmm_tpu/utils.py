@@ -308,10 +308,16 @@ def gaussian_log_likelihood(
     B, T, D = obs.shape
     chol = jnp.linalg.cholesky(covariances)  # (K, D, D)
     diff = obs[:, :, None, :] - means[None, None]  # (B, T, K, D)
-    # Solve L y = diff  →  mahalanobis = ||y||²
-    y = jax.scipy.linalg.solve_triangular(
-        chol[None, None], diff[..., None], lower=True
-    )[..., 0]
+    # Whiten with the precomputed L^{-1} (one K-batched O(D³) solve)
+    # instead of a (B, T, K)-batched triangular solve per frame: the
+    # whitening becomes one MXU contraction, and broadcasting a (K,D,D)
+    # solve against (B,T,K,D) batch dims is not supported anyway.
+    eye = jnp.eye(D, dtype=obs.dtype)
+    inv_chol = jax.vmap(
+        lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    )(chol)  # (K, D, D)
+    from .precision import mxu_einsum
+    y = mxu_einsum("kde,btke->btkd", inv_chol, diff)
     mahal = jnp.sum(y * y, axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
     ll = -0.5 * (D * jnp.log(2 * jnp.pi) + logdet)[None, None] - 0.5 * mahal
