@@ -149,6 +149,14 @@ def main():
                 "rejected": lat.get("rejected", 0),
             },
         }
+        try:
+            from pytorch_hmm_tpu.roofline import audit
+
+            roof = audit(name, lat["p50"])
+            if roof is not None:
+                line["roofline"] = roof
+        except Exception:  # pragma: no cover - accounting must not kill bench
+            pass
         print(
             f"{name}: p50={lat['p50']*1e3:.3f}ms "
             f"[{lat['min']*1e3:.3f}, {lat['max']*1e3:.3f}] "
@@ -335,7 +343,9 @@ def main():
         lpi = jnp.full((K,), -jnp.log(float(K)))
 
         def long_fwd(x):
-            _, lz = ops.pallas_forward(x, la, lpi)
+            # auto dispatch: minimal-latency prob-space kernel at this
+            # shape (precision from the mixed-precision policy).
+            _, lz = ops.auto_forward(x, la, lpi)
             return jnp.sum(lz)
 
         lat = measure(long_fwd, lo, 2)

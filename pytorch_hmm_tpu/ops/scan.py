@@ -52,7 +52,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_forward", "pallas_backward", "pallas_viterbi"]
+__all__ = [
+    "pallas_forward", "pallas_forward_prob", "pallas_backward",
+    "pallas_viterbi",
+]
 
 LANES = 128
 SUBLANES = 8
@@ -288,6 +291,231 @@ def pallas_forward(
         # frame already holds each row's true final alpha.
         last = log_alpha[:, -1, :]
     lz = jax.scipy.special.logsumexp(last, axis=-1)
+    return log_alpha, lz
+
+
+# ---------------------------------------------------------------------------
+# Long-sequence forward: minimal-latency prob-space chain
+# ---------------------------------------------------------------------------
+#
+# The log-space kernel above spends ~310 ns/frame at B=32 K=64; scaling
+# diagnostics (experiments/fwd_floor.py) show the cost is set by the
+# dependent per-frame chain, with a hard floor of ~190-200 ns/frame for
+# even a bare ``dot + multiply`` carry (the MXU dot's dependent-issue
+# latency — batch rows are nearly free, K is lane-parallel). This kernel
+# gets within ~12% of that floor by stripping the serial body to
+#
+#     q_t = (q_{t-1} @ A) * e_t                (dot, mul, store)
+#
+# and moving everything else into vectorized per-chunk passes:
+# ``e_t = exp(lo_t - m_t)`` (pre-pass), the m-cumsum log-shift
+# (triangular matmul), rescaling (every ``rs`` frames, off the chain),
+# and ``alpha = log(q) + shifts`` (post-pass at VPU throughput).
+# Measured at B=32 T=131072 K=64 on v5e-1: 42 ms (log-space kernel) →
+# 33.7 ms (HIGHEST) / 29.4 ms (DEFAULT multiplies) vs the ~25 ms
+# latency-roofline floor.
+#
+# Underflow: q's max entry shrinks per step by at most
+# ``exp(min_reachable(lo_t - m_t))``; rs=8 tolerates a per-step shrink
+# of e^-10 before f32 underflow (~e^-87), ample for speech log-probs.
+
+
+def _forward_prob_kernel(
+    lo_hbm, pa_ref, pi_ref, tri_ref, exp_ref, alpha_out, *,
+    t_chunk, T, b_tile, precision, rs,
+):
+    Bt = b_tile
+    K = pa_ref.shape[1]
+    n_chunks = T // t_chunk
+    n_rs = t_chunk // rs
+    b0 = pl.program_id(0) * Bt
+
+    def body(obs_buf, q_buf, m_buf, c_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
+                obs_buf.at[slot], in_sems.at[slot])
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                q_buf.at[slot],
+                alpha_out.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                out_sems.at[slot])
+
+        in_dma(0, 0).start()
+        pi = pi_ref[:, :]  # (1, K) exp(log_pi), 0 padded
+
+        def chunk_body(c, carry):
+            # q: (Bt, K) scaled probs; C: (Bt, 1) accumulated log-scale
+            # (rescale logs of past rs-blocks + m-sums of past chunks).
+            q, C = carry
+            slot = c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                in_dma((c + 1) % 2, c + 1).start()
+
+            in_dma(slot, c).wait()
+
+            @pl.when(c >= 2)
+            def _():
+                out_dma(slot, c - 2).wait()
+
+            # ---- vectorized pre-pass: shift + exp the whole chunk ----
+            lo_chunk = obs_buf[slot]                       # (Bt, tc, K)
+            m = jnp.maximum(
+                jnp.max(lo_chunk, axis=-1, keepdims=True), _NEG
+            )                                              # (Bt, tc, 1)
+            obs_buf[slot] = jnp.exp(lo_chunk - m)
+            # Per-chunk prefix sum of m via triangular matmul
+            # (tri[t, u] = 1 for u <= t).
+            mcum = jax.lax.dot_general(
+                m[:, :, 0], tri_ref[:, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # (Bt, tc)
+            m_buf[slot] = mcum
+
+            # ---- serial chain: rs-blocked, minimal per-frame body ----
+            def rs_block(rb, carry):
+                q, C = carry
+                # This block's entry scale, for the post-pass.
+                c_buf[slot, :, pl.ds(rb, 1)] = C
+
+                def frame(i, q):
+                    tf = rb * rs + i
+                    e_t = obs_buf[slot, :, tf, :]          # (Bt, K)
+                    t = c * t_chunk + tf
+                    s = jax.lax.dot_general(
+                        q, pa_ref[:, :], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    qn = s * e_t
+                    qn = jnp.where(t == 0, pi * e_t, qn)
+                    q_buf[slot, :, tf, :] = qn
+                    return qn
+
+                q = jax.lax.fori_loop(0, rs, frame, q, unroll=rs)
+                # Rescale once per rs block — off the per-frame chain.
+                r = jnp.maximum(
+                    jnp.max(q, axis=-1, keepdims=True), 1e-37)
+                return q * (1.0 / r), C + jnp.log(r)
+
+            q, C = jax.lax.fori_loop(
+                0, n_rs, rs_block, (q, C),
+                unroll=n_rs if not _use_interpret() else 1)
+
+            # ---- vectorized post-pass: staged q -> log-alpha ----
+            # alpha[t] = log(q_staged[t]) + C(entry of t's rs block)
+            #            + mcum[t].
+            qs = q_buf[slot]                               # (Bt, tc, K)
+            # Expand per-rs-block scales to per-frame with a 0/1 matmul
+            # (exp_ref[rb, t] = 1 iff t // rs == rb) — lane-safe.
+            crep = jax.lax.dot_general(
+                c_buf[slot], exp_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # (Bt, tc)
+            shift = crep + m_buf[slot]
+            q_buf[slot] = jnp.log(jnp.maximum(qs, 1e-37)) + shift[:, :, None]
+            out_dma(slot, c).start()
+            # Re-base so the next chunk's mcum starts from zero.
+            C = C + m_buf[slot, :, pl.ds(t_chunk - 1, 1)]
+            return q, C
+
+        q0 = jnp.zeros((Bt, K), jnp.float32)
+        C0 = jnp.zeros((Bt, 1), jnp.float32)
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (q0, C0))
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        q_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        m_buf=pltpu.VMEM((2, Bt, t_chunk), jnp.float32),
+        c_buf=pltpu.VMEM((2, Bt, t_chunk // rs), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_chunk", "b_tile", "rs", "precision")
+)
+def pallas_forward_prob(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    t_chunk: int = 128,
+    b_tile: Optional[int] = None,
+    rs: int = 8,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[jax.Array, jax.Array]:
+    """Long-sequence forward on the minimal-latency prob-space kernel.
+
+    Same contract as ``pallas_forward`` minus ``lengths`` (callers with
+    ragged batches use the log-space kernel). ``precision`` sets the
+    per-frame dot's multiply precision: HIGHEST is within the log-space
+    kernel's error envelope (max |Δalpha| ~8e-3 at T=1024 vs its 4e-3);
+    DEFAULT (bf16 MXU passes, selected by the mixed-precision policy)
+    costs ~9e-2 on alpha — fine for likelihoods/decoding, not for
+    posterior-grade work.
+    """
+    B, T, K = log_obs.shape
+    Kp = _ceil_to(K, LANES)
+    if b_tile is None:
+        bt = _pick_b_tile(B, Kp, t_chunk)
+        b_tile = bt if B % bt == 0 else SUBLANES
+    Tp = _ceil_to(T, t_chunk)
+    Bp = _ceil_to(B, b_tile)
+
+    lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
+    lo = _pad_to(lo, Tp, 1, 0.0)
+    lo = _pad_to(lo, Bp, 0, 0.0)
+    la = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
+    la = _pad_to(la, Kp, 1, _NEG)
+    pa = jnp.exp(la)
+    pi = jnp.exp(_pad_to(log_pi.astype(jnp.float32), Kp, 0, _NEG))[None, :]
+    tri = jnp.tril(jnp.ones((t_chunk, t_chunk), jnp.float32))
+    n_rs = t_chunk // rs
+    expand = (
+        jnp.arange(t_chunk)[None, :] // rs
+        == jnp.arange(n_rs)[:, None]
+    ).astype(jnp.float32)
+
+    nb = Bp // b_tile
+    alpha_p = pl.pallas_call(
+        functools.partial(
+            _forward_prob_kernel, t_chunk=t_chunk, T=Tp, b_tile=b_tile,
+            precision=precision, rs=rs,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, t_chunk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rs, t_chunk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+        interpret=_use_interpret(),
+    )(lo, pa, pi, tri, expand)
+
+    log_alpha = alpha_p[:B, :T, :K]
+    lz = jax.scipy.special.logsumexp(log_alpha[:, -1, :], axis=-1)
     return log_alpha, lz
 
 

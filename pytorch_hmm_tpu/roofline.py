@@ -1,0 +1,153 @@
+"""Roofline accounting for the benchmark workloads (VERDICT r2 item 1).
+
+For each bench row this computes the time each hardware resource would
+need at its ceiling — HBM bandwidth, MXU throughput, and (for the
+serial DP scans) the dependent-step latency chain — and reports the
+binding ceiling and the measured fraction of it. The point is to make
+"speed-of-light" a number: a row at 0.9 of its binding ceiling is done;
+a row at 0.1 has a known amount on the table.
+
+Chip model (TPU v5e, 1 core):
+
+* ``HBM_BW`` 819 GB/s.
+* ``MXU_BF16`` 197 TFLOP/s (f32 inputs at DEFAULT precision run as one
+  bf16 pass, so this is also the default-f32 matmul ceiling);
+  ``MXU_F32`` ≈ 197/6 for ``Precision.HIGHEST`` (six passes).
+* ``SERIAL_STEP`` 190 ns: the measured floor of one dependent
+  ``(B≤32, K≤128) @ (K, K)`` MXU dot + elementwise multiply inside a
+  fully-unrolled Pallas frame loop (experiments/fwd_floor.py; rescale
+  cadence rs=16/32 both measure 190-192 ns/frame). Any algorithm that
+  must execute T dependent combines pays ``T × SERIAL_STEP`` no matter
+  how little arithmetic each step does — on this workload family the
+  binding resource is usually this latency chain, not bandwidth or
+  FLOPs.
+* ``SERIAL_STEP_SMALLK`` 130 ns: measured per-step cost of the
+  transposed-layout (states-on-sublanes) trellis kernels at S ≤ 32
+  (ops/smallk.py at the flagship shape) — a tighter floor for the
+  small-state decode family; their VPU max-trees avoid the MXU dot.
+
+These are *measured floors on this chip*, not theoretical minima: they
+already include Mosaic's loop/issue overhead, so "100% of ceiling"
+means "as fast as the best measured minimal chain", which is the
+honest comparison for deciding whether further kernel work can pay.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+__all__ = ["V5E", "audit", "BENCH_MODELS"]
+
+V5E = {
+    "hbm_bw": 819e9,          # bytes/s
+    "mxu_bf16": 197e12,       # FLOP/s, DEFAULT precision
+    "mxu_f32": 197e12 / 6.0,  # FLOP/s, Precision.HIGHEST
+    "vpu_f32": 3.8e12,        # elementwise FLOP/s (4 ALUs x (8,128) x 940 MHz)
+    "serial_step": 190e-9,    # s, lane-layout dependent dot+mul floor
+    "serial_step_smallk": 130e-9,  # s, transposed small-S trellis floor
+}
+
+
+def _ceil_times(
+    hbm_bytes: float = 0.0,
+    mxu_flops: float = 0.0,
+    vpu_flops: float = 0.0,
+    serial_steps: float = 0.0,
+    smallk: bool = False,
+    f32_mxu: bool = False,
+) -> Dict[str, float]:
+    step = V5E["serial_step_smallk"] if smallk else V5E["serial_step"]
+    mxu = V5E["mxu_f32"] if f32_mxu else V5E["mxu_bf16"]
+    return {
+        "hbm_s": hbm_bytes / V5E["hbm_bw"],
+        "mxu_s": mxu_flops / mxu,
+        "vpu_s": vpu_flops / V5E["vpu_f32"],
+        "serial_s": serial_steps * step,
+    }
+
+
+# Resource models for the bench rows (shapes fixed by bench.py).
+# hbm_bytes counts the unavoidable traffic: inputs read once, outputs
+# written once (intermediates that stay in VMEM are excluded).
+BENCH_MODELS = {
+    # B=32 T=1000 S=12 C=4 D=80, diag GMM decode (smallk trellis).
+    "mixture_gaussian_hmm_decode_rtf_b32_T1000_s12_c4_d80": dict(
+        hbm_bytes=32e3 * 80 * 4        # obs in
+        + 2 * 32e3 * 12 * 4            # (B,T,S) log-obs write+read
+        + 32e3 * 4,                    # states out
+        mxu_flops=2 * 32e3 * 80 * 48,  # emission GEMMs
+        serial_steps=1000,
+        smallk=True,
+    ),
+    # B=32 T=1000 S=10 D=20 HSMM segment DP (transposed kernel).
+    "hsmm_decode_rtf_b32_T1000_s10_d20": dict(
+        hbm_bytes=32e3 * 80 * 4 + 2 * 32e3 * 10 * 4 + 32e3 * 4,
+        mxu_flops=2 * 32e3 * 80 * 10,
+        serial_steps=1000,
+        smallk=True,
+    ),
+    # chunk=160 S=12 D=80 streaming beam step.
+    "streaming_chunk_p50_s12_d80_beam": dict(
+        hbm_bytes=160 * 80 * 4 + 160 * 4,
+        mxu_flops=2 * 160 * 80 * 12,
+        serial_steps=160,
+        smallk=True,
+    ),
+    # B=16 T=1000 S=12 H=256 NeuralHMM forward-backward.
+    "neural_hmm_forward_rtf_b16_T1000_s12_h256": dict(
+        hbm_bytes=16e3 * 80 * 4 + 3 * 16e3 * 12 * 4,
+        mxu_flops=2 * 16e3 * (80 * 256 + 256 * 256 + 2 * 256 * 80),
+        serial_steps=2 * 1000,  # forward + backward chains
+        smallk=True,
+    ),
+    # B=32 T=131072 K=64 long-context forward (prob-space kernel).
+    "long_context_forward_rtf_b32_T131072_k64": dict(
+        hbm_bytes=2 * 32 * 131072 * 64 * 4,  # obs in + alpha out
+        mxu_flops=2 * 32 * 131072 * 64 * 64,
+        serial_steps=131072,
+        smallk=False,
+    ),
+    # B=24 T=800 S=10 D=20 semi-Markov decode.
+    "semi_markov_decode_rtf_b24_T800_s10_d20": dict(
+        hbm_bytes=24 * 800 * 80 * 4 + 2 * 24 * 800 * 10 * 4 + 24 * 800 * 4,
+        mxu_flops=2 * 24 * 800 * 80 * 10,
+        serial_steps=800,
+        smallk=True,
+    ),
+    # B=16 T=500 C=40 U=50 CTC forced alignment (banded lattice,
+    # S = 2U+1 = 101 lattice states; serial over T).
+    "ctc_forced_alignment_rtf_b16_T500_c40_u50": dict(
+        hbm_bytes=16 * 500 * 40 * 4 + 2 * 16 * 500 * 101 * 4
+        + 16 * 500 * 4,
+        mxu_flops=0.0,
+        serial_steps=2 * 500,  # alpha chain + backtrace chain
+        smallk=True,
+    ),
+    # 500x500 D=80 DTW (wavefront over 2N-1 anti-diagonals + backtrace).
+    "dtw_alignment_rtf_T500x500_d80": dict(
+        hbm_bytes=2 * 500 * 80 * 4 + 500 * 500 * 4,
+        mxu_flops=2 * 500 * 500 * 80,
+        serial_steps=2 * 999,  # wavefront + backtrace chains
+        smallk=True,
+    ),
+}
+
+
+def audit(metric: str, measured_s: float) -> Optional[Dict[str, float]]:
+    """Ceiling report for a bench row: per-resource ceiling times, the
+    binding (slowest) ceiling, and measured/binding fraction (1.0 =
+    at the measured hardware floor)."""
+    model = BENCH_MODELS.get(metric)
+    if model is None:
+        return None
+    times = _ceil_times(**model)
+    binding_name = max(times, key=times.get)
+    binding = times[binding_name]
+    return {
+        "binding": binding_name.removesuffix("_s"),
+        "ceiling_ms": round(binding * 1e3, 4),
+        "frac_of_ceiling": round(binding / max(measured_s, 1e-12), 3),
+        "hbm_ms": round(times["hbm_s"] * 1e3, 4),
+        "mxu_ms": round(times["mxu_s"] * 1e3, 4),
+        "serial_ms": round(times["serial_s"] * 1e3, 4),
+    }

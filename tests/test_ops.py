@@ -50,6 +50,23 @@ def test_pallas_forward_matches_core(problem):
     np.testing.assert_allclose(lz_p, lz0, atol=5e-4)
 
 
+def test_pallas_forward_prob_matches_core():
+    """Minimal-latency prob-space long-sequence forward (interpret mode
+    here; hardware-validated at B=32 T=131072 K=64)."""
+    from pytorch_hmm_tpu.ops import pallas_forward_prob
+
+    B, T, K = 3, 300, 11
+    rng = np.random.default_rng(3)
+    lo = jnp.asarray(rng.normal(size=(B, T, K)) * 3.0, jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+    a0, lz0 = core.forward_log(lo, la, lp)
+    for rs in (4, 8):
+        a_p, lz_p = pallas_forward_prob(lo, la, lp, rs=rs)
+        np.testing.assert_allclose(a_p, a0, atol=2e-3)
+        np.testing.assert_allclose(lz_p, lz0, atol=2e-3)
+
+
 def test_pallas_backward_matches_core(problem):
     lo, la, lp = problem
     b_p = pallas_backward(lo, la, t_chunk=64)
