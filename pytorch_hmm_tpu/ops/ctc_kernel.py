@@ -42,6 +42,8 @@ __all__ = [
     "ctc_lattice_forward",
     "ctc_lattice_backward",
     "ctc_lattice_supported",
+    "ctc_lattice_viterbi",
+    "ctc_viterbi_kernel_supported",
 ]
 
 _MAX_S = 512   # lattice lanes (multi-tile rolls verified exact on hw)
@@ -51,12 +53,21 @@ _T_CHUNK = 128
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _pick_ctc_b_tile(batch: int, Sp: int) -> Optional[int]:
+    """Largest batch tile whose double buffers fit the VMEM budget.
+    Large lattices ride a smaller batch tile (grid over batch groups),
+    so S up to _MAX_S works at any batch — at S=512 the tile is 8."""
+    for bt in (32, 16, 8):
+        if 2 * 2 * _T_CHUNK * bt * Sp * 4 <= _VMEM_BUDGET:
+            return bt
+    return None
+
+
 def ctc_lattice_supported(lattice_size: int, batch: int) -> bool:
     if lattice_size > _MAX_S or batch > _MAX_B:
         return False
-    Bs = _ceil_to(batch, SUBLANES)
     Sp = _ceil_to(lattice_size, LANES)
-    return 2 * 2 * _T_CHUNK * Bs * Sp * 4 <= _VMEM_BUDGET
+    return _pick_ctc_b_tile(batch, Sp) is not None
 
 
 def _lse3(a, b, c):
@@ -82,6 +93,7 @@ def _ctc_fwd_kernel(
     tc = t_chunk
     n_chunks = t_total // tc
     tail = t_true - (n_chunks - 1) * tc
+    b0 = pl.program_id(0) * Bs
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (Bs, Sp), 1)
     edge1 = iota_l >= 1
     edge2 = iota_l >= 2
@@ -89,13 +101,15 @@ def _ctc_fwd_kernel(
     def body(lp_buf, al_buf, in_sems, out_sems):
         def in_dma(slot, chunk):
             return pltpu.make_async_copy(
-                lp_hbm.at[pl.ds(chunk * tc, tc)], lp_buf.at[slot],
+                lp_hbm.at[pl.ds(chunk * tc, tc), pl.ds(b0, Bs)],
+                lp_buf.at[slot],
                 in_sems.at[slot],
             )
 
         def out_dma(slot, chunk):
             return pltpu.make_async_copy(
-                al_buf.at[slot], al_hbm.at[pl.ds(chunk * tc, tc)],
+                al_buf.at[slot],
+                al_hbm.at[pl.ds(chunk * tc, tc), pl.ds(b0, Bs)],
                 out_sems.at[slot],
             )
 
@@ -188,6 +202,7 @@ def _ctc_bwd_kernel(
     n_chunks = t_total // tc
     last_c = n_chunks - 1
     tail = t_true - last_c * tc
+    b0 = pl.program_id(0) * Bs
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (Bs, Sp), 1)
     edgeb1 = iota_l < Sp - 1
     edgeb2 = iota_l < Sp - 2
@@ -195,13 +210,15 @@ def _ctc_bwd_kernel(
     def body(lp_buf, be_buf, in_sems, out_sems):
         def in_dma(slot, chunk):
             return pltpu.make_async_copy(
-                lpn_hbm.at[pl.ds(chunk * tc, tc)], lp_buf.at[slot],
+                lpn_hbm.at[pl.ds(chunk * tc, tc), pl.ds(b0, Bs)],
+                lp_buf.at[slot],
                 in_sems.at[slot],
             )
 
         def out_dma(slot, chunk):
             return pltpu.make_async_copy(
-                be_buf.at[slot], be_hbm.at[pl.ds(chunk * tc, tc)],
+                be_buf.at[slot],
+                be_hbm.at[pl.ds(chunk * tc, tc), pl.ds(b0, Bs)],
                 out_sems.at[slot],
             )
 
@@ -278,6 +295,165 @@ def _prep(x, Bs, Sp, fill):
     return _pad_to(_pad_to(x.astype(jnp.float32), Bs, 0, fill), Sp, 1, fill)
 
 
+# ---------------------------------------------------------------------------
+# Forced alignment: single-program max-semiring trellis + backtrace
+# ---------------------------------------------------------------------------
+#
+# The XLA scan pair (forward argmax trellis + backtrace gathers,
+# alignment/ctc.py ctc_viterbi_alignment) pays XLA's per-step loop
+# dispatch twice over T — measured 1.18 ms at B=16 T=500 U=50, 9x its
+# serial-latency roofline. This kernel runs both chains inside ONE
+# Pallas program with everything VMEM-resident (the ops/dtw.py
+# wavefront+backtrace pattern): the forward pass stores the 3-way
+# choice per (frame, row, position); the backtrace carries each row's
+# path position as a one-hot lane vector and overwrites the choice
+# buffer in place with position indices — no extra VMEM, no HBM round
+# trip, no second kernel.
+
+
+def ctc_viterbi_kernel_supported(T: int, batch: int, lattice: int) -> bool:
+    """Whole-problem-resident bound: lp + choice tables in VMEM."""
+    Bs = _ceil_to(batch, SUBLANES)
+    Sp = _ceil_to(lattice, LANES)
+    Tp = _ceil_to(T, SUBLANES)
+    if lattice > _MAX_S or batch > _MAX_B:
+        return False
+    return 2 * Tp * Bs * Sp * 4 <= 10 * 1024 * 1024
+
+
+def _ctc_vit_kernel(
+    lp_ref,     # (Tp, Bs, Sp) VMEM — gathered emissions
+    skip_ref,   # (Bs, Sp) VMEM — 0 where skip allowed, _NEG where not
+    vmask_ref,  # (Bs, Sp) VMEM — 0 at valid lattice positions, _NEG past
+    a0_ref,     # (Bs, Sp) VMEM — delta at frame 0
+    tt_ref,     # (Bs, 1) VMEM int32 — per-row input length
+    e1_ref,     # (Bs, Sp) VMEM — one-hot end position 2U
+    e2_ref,     # (Bs, Sp) VMEM — one-hot end position 2U-1
+    pos_ref,    # (Tp, Bs, Sp) VMEM out — choices, then position indices
+    score_ref,  # (Bs, LANES) VMEM out — best path score
+    *,
+    T: int,
+):
+    Bs, Sp = a0_ref.shape
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (Bs, Sp), 1)
+    fiota = iota_l.astype(jnp.float32)
+    edge1 = iota_l >= 1
+    edge2 = iota_l >= 2
+    skip_add = skip_ref[:, :]
+    vmask = vmask_ref[:, :]
+    tt = tt_ref[:, :]
+
+    # ---- phase 1: max-product trellis, choices into pos_ref ----
+    pos_ref[pl.ds(0, 1)] = jnp.zeros((1, Bs, Sp), jnp.float32)
+
+    def fwd_step(t, d):
+        lp_t = lp_ref[t]
+        adv = jnp.where(edge1, pltpu.roll(d, 1, axis=1), _NEG)
+        skip = jnp.where(edge2, pltpu.roll(d, 2, axis=1), _NEG) + skip_add
+        b1 = jnp.maximum(d, adv)
+        best = jnp.maximum(b1, skip)
+        # First-of-ties priority stay > advance > skip (jnp.argmax
+        # convention of the XLA path).
+        choice = jnp.where(
+            best == d, 0.0, jnp.where(best == adv, 1.0, 2.0)
+        )
+        nxt = (lp_t + best) + vmask
+        frozen = t >= tt
+        nxt = jnp.where(frozen, d, nxt)
+        choice = jnp.where(frozen, 0.0, choice)
+        pos_ref[pl.ds(t, 1)] = choice[None]
+        return nxt
+
+    d = _frame_loop(1, T, fwd_step, a0_ref[:, :])
+
+    # ---- end selection ----
+    v1 = jnp.max(jnp.where(e1_ref[:, :] > 0, d, _NEG), axis=1,
+                 keepdims=True)
+    v2 = jnp.max(jnp.where(e2_ref[:, :] > 0, d, _NEG), axis=1,
+                 keepdims=True)
+    take1 = v1 >= v2
+    oh = jnp.where(take1, e1_ref[:, :], e2_ref[:, :])
+    score_ref[:, :] = jnp.broadcast_to(
+        jnp.maximum(v1, v2), (Bs, LANES)
+    )
+
+    # ---- phase 2: backtrace, positions overwrite choices in place ----
+    def bt_step(i, oh):
+        t = T - 1 - i
+        choice_t = pos_ref[t]  # (Bs, Sp) — read BEFORE overwrite
+        posidx = jnp.sum(fiota * oh, axis=1, keepdims=True)  # (Bs, 1)
+        pos_ref[pl.ds(t, 1)] = jnp.broadcast_to(posidx, (Bs, Sp))[None]
+        sb = jnp.sum(choice_t * oh, axis=1, keepdims=True)   # (Bs, 1)
+        oh = (
+            oh * (sb == 0.0).astype(jnp.float32)
+            + pltpu.roll(oh, Sp - 1, axis=1) * (sb == 1.0).astype(jnp.float32)
+            + pltpu.roll(oh, Sp - 2, axis=1) * (sb == 2.0).astype(jnp.float32)
+        )
+        return oh
+
+    _frame_loop(0, T, bt_step, oh)
+
+
+@jax.jit
+def ctc_lattice_viterbi(
+    lp: jax.Array,          # (B, T, S) gathered emissions
+    skip_add: jax.Array,    # (B, S) 0 / _NEG additive skip mask
+    vmask: jax.Array,       # (B, S) 0 / _NEG valid-position mask
+    a0: jax.Array,          # (B, S) frame-0 delta
+    input_lengths: jax.Array,
+    end1: jax.Array,        # (B,) int — lattice end position 2U
+    end2: jax.Array,        # (B,) int — lattice end position max(2U-1, 0)
+):
+    """Most-likely lattice positions ``(B, T) int32`` + score ``(B,)``.
+
+    Same conventions as the XLA ``ctc_viterbi_alignment`` internals:
+    positions frozen past each row's length (path repeats the final
+    position), stay>advance>skip tie priority, end position chosen as
+    ``end1`` iff its score >= ``end2``'s.
+    """
+    B, T, S = lp.shape
+    Bs = _ceil_to(B, SUBLANES)
+    Sp = _ceil_to(S, LANES)
+    Tp = _ceil_to(T, SUBLANES)
+    lp_t = _pad_to(
+        jnp.transpose(
+            _pad_to(_pad_to(lp.astype(jnp.float32), Bs, 0, 0.0),
+                    Sp, 2, 0.0),
+            (1, 0, 2),
+        ),
+        Tp, 0, 0.0,
+    )
+    s_iota = jnp.arange(Sp)[None, :]
+    e1 = (_pad_to(end1.astype(jnp.int32)[:, None], Bs, 0, 0)
+          == s_iota).astype(jnp.float32)
+    e2 = (_pad_to(end2.astype(jnp.int32)[:, None], Bs, 0, 0)
+          == s_iota).astype(jnp.float32)
+
+    pos, score = pl.pallas_call(
+        functools.partial(_ctc_vit_kernel, T=T),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Bs, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((Bs, LANES), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(
+        lp_t,
+        _prep(skip_add, Bs, Sp, _NEG),
+        _prep(vmask, Bs, Sp, _NEG),
+        _prep(a0, Bs, Sp, _NEG),
+        _pad_to(input_lengths.astype(jnp.int32)[:, None], Bs, 0, T),
+        e1,
+        e2,
+    )
+    positions = pos[:T, :B, 0].astype(jnp.int32).T  # (B, T)
+    return positions, score[:B, 0]
+
+
 @jax.jit
 def ctc_lattice_forward(
     lp: jax.Array,          # (B, T, S) gathered emissions
@@ -290,8 +466,9 @@ def ctc_lattice_forward(
     match the XLA scan within lse-reassociation tolerance; frozen past
     each row's length, like the XLA scan)."""
     B, T, S = lp.shape
-    Bs = _ceil_to(B, SUBLANES)
     Sp = _ceil_to(S, LANES)
+    bt = _pick_ctc_b_tile(B, Sp) or SUBLANES
+    Bs = _ceil_to(B, bt)
     Tp = _ceil_to(T, _T_CHUNK)
     lp_t = _pad_to(
         jnp.transpose(
@@ -301,16 +478,22 @@ def ctc_lattice_forward(
         ),
         Tp, 0, 0.0,
     )
+    nb = Bs // bt
     al = pl.pallas_call(
         functools.partial(
             _ctc_fwd_kernel, t_chunk=_T_CHUNK, t_total=Tp, t_true=T
         ),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Tp, Bs, Sp), jnp.float32),
@@ -335,8 +518,9 @@ def ctc_lattice_backward(
 ) -> jax.Array:
     """Beta table ``(B, T, S)`` (the XLA scan's conventions)."""
     B, T, S = lp.shape
-    Bs = _ceil_to(B, SUBLANES)
     Sp = _ceil_to(S, LANES)
+    bt = _pick_ctc_b_tile(B, Sp) or SUBLANES
+    Bs = _ceil_to(B, bt)
     Tp = _ceil_to(T, _T_CHUNK)
     # Row t of the streamed buffer holds lp[t+1] (the recursion at t
     # consumes the successor frame); the final row is a dummy.
@@ -349,16 +533,22 @@ def ctc_lattice_backward(
         ),
         Tp, 0, 0.0,
     )
+    nb = Bs // bt
     be = pl.pallas_call(
         functools.partial(
             _ctc_bwd_kernel, t_chunk=_T_CHUNK, t_total=Tp, t_true=T
         ),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Tp, Bs, Sp), jnp.float32),
