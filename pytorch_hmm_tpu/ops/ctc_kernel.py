@@ -47,6 +47,7 @@ __all__ = [
 ]
 
 _MAX_S = 512   # lattice lanes (multi-tile rolls verified exact on hw)
+_MAX_S_WIDE = 2048  # 2-D lattice layout (sublanes x lanes), 1 row/program
 _MAX_B = 256
 _T_CHUNK = 128
 # 2 double-buffered (tc, Bs, Sp) streams must fit VMEM with headroom.
@@ -64,10 +65,20 @@ def _pick_ctc_b_tile(batch: int, Sp: int) -> Optional[int]:
 
 
 def ctc_lattice_supported(lattice_size: int, batch: int) -> bool:
-    if lattice_size > _MAX_S or batch > _MAX_B:
+    if batch > _MAX_B:
         return False
+    if lattice_size > _MAX_S:
+        # Wide path: 2-D lattice layout, one batch row per program.
+        return lattice_size <= _MAX_S_WIDE
     Sp = _ceil_to(lattice_size, LANES)
     return _pick_ctc_b_tile(batch, Sp) is not None
+
+
+def _use_wide(lattice_size: int, batch: int) -> bool:
+    return (
+        lattice_size > _MAX_S
+        or _pick_ctc_b_tile(batch, _ceil_to(lattice_size, LANES)) is None
+    )
 
 
 def _lse3(a, b, c):
@@ -296,6 +307,247 @@ def _prep(x, Bs, Sp, fill):
 
 
 # ---------------------------------------------------------------------------
+# Wide lattices (S up to 2048): 2-D lattice layout, one row per program
+# ---------------------------------------------------------------------------
+#
+# The lane layout above needs tc×8×Sp×4-byte double buffers (batch tile
+# minimum 8 sublanes), capping Sp at ~640 under the VMEM budget. For
+# larger label counts the lattice itself becomes the 2-D vreg tile —
+# positions p = r·128 + l ride (sublanes r, lanes l), one batch row per
+# grid program — so the buffers are tc×(Sp/128)×128×4 bytes and S=2048
+# costs ~4 MB. Band shifts cross sublane boundaries with one extra
+# sublane roll selected on the lane edge.
+
+
+def _wide_shift_fwd(a, riota, liota, k):
+    """a[p] -> a[p-k] over the 2-D layout (k in {1, 2}); _NEG below p=k."""
+    al = pltpu.roll(a, k, axis=1)                # [r, l] = a[r, l-k]
+    wrap = pltpu.roll(al, 1, axis=0)             # [r, l] = a[r-1, 128+l-k]
+    out = jnp.where(liota < k, wrap, al)
+    return jnp.where(riota * LANES + liota >= k, out, _NEG)
+
+
+def _wide_shift_bwd(m, riota, liota, k, Sp):
+    """m[p] -> m[p+k] (k in {1, 2}); _NEG at p >= Sp-k."""
+    ml = pltpu.roll(m, LANES - k, axis=1)        # [r, l] = m[r, l+k]
+    R = m.shape[0]
+    wrap = pltpu.roll(ml, R - 1, axis=0)         # [r, l] = m[r+1, l+k-128]
+    out = jnp.where(liota >= LANES - k, wrap, ml)
+    return jnp.where(riota * LANES + liota < Sp - k, out, _NEG)
+
+
+def _ctc_fwd_wide_kernel(
+    lp_hbm,     # (B, Tp, R, 128) HBM — gathered emissions
+    skip_ref,   # (1, R, 128) VMEM
+    vmask_ref,  # (1, R, 128) VMEM
+    a0_ref,     # (1, R, 128) VMEM
+    tt_ref,     # (B, 1) SMEM int32 — full array, indexed by program
+    al_hbm,     # (B, Tp, R, 128) HBM out
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+):
+    _, R, L = skip_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    tail = t_true - (n_chunks - 1) * tc
+    b = pl.program_id(0)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+
+    def body(lp_buf, al_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lp_hbm.at[b, pl.ds(chunk * tc, tc)], lp_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                al_buf.at[slot], al_hbm.at[b, pl.ds(chunk * tc, tc)],
+                out_sems.at[slot],
+            )
+
+        in_dma(0, 0).start()
+        skip_add = skip_ref[0]
+        vmask = vmask_ref[0]
+        tt = tt_ref[b, 0]  # scalar from SMEM
+
+        def frames(c, slot, a, first: bool, n_frames: int):
+            def step(tf, a):
+                if first and isinstance(tf, int) and tf == 0:
+                    a = a0_ref[0]
+                    al_buf[slot, pl.ds(0, 1)] = a[None]
+                    return a
+                lp_t = lp_buf[slot, tf]
+                adv = _wide_shift_fwd(a, riota, liota, 1)
+                skip = _wide_shift_fwd(a, riota, liota, 2) + skip_add
+                nxt = (lp_t + _lse3(a, adv, skip)) + vmask
+                t = c * tc + tf
+                if first and not isinstance(tf, int):
+                    nxt = jnp.where(t == 0, a0_ref[0], nxt)
+                nxt = jnp.where(t < tt, nxt, a)
+                al_buf[slot, pl.ds(tf, 1)] = nxt[None]
+                return nxt
+
+            return _frame_loop(0, n_frames, step, a)
+
+        def run_chunk(c, r_slot, a, first: bool, n_frames: int):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, r_slot + 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, r_slot).wait()
+
+            @pl.when(r_slot >= 2)
+            def _():
+                out_dma(slot, r_slot - 2).wait()
+
+            a = frames(c, slot, a, first, n_frames)
+            out_dma(slot, r_slot).start()
+            return a
+
+        a = jnp.full((R, L), _NEG, jnp.float32)
+        if n_chunks == 1:
+            run_chunk(0, 0, a, True, tail)
+        else:
+            a = run_chunk(0, 0, a, True, tc)
+            if n_chunks > 2:
+                a = jax.lax.fori_loop(
+                    1, n_chunks - 1,
+                    lambda c, a: run_chunk(c, c, a, False, tc), a,
+                )
+            run_chunk(n_chunks - 1, n_chunks - 1, a, False, tail)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        lp_buf=pltpu.VMEM((2, t_chunk, R, L), jnp.float32),
+        al_buf=pltpu.VMEM((2, t_chunk, R, L), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _ctc_bwd_wide_kernel(
+    lpn_hbm,    # (B, Tp, R, 128) HBM — emissions shifted one frame
+    skipf_ref,  # (1, R, 128) VMEM
+    vmask_ref,  # (1, R, 128) VMEM
+    bT_ref,     # (1, R, 128) VMEM
+    tt_ref,     # (B, 1) SMEM int32 — full array, indexed by program
+    be_hbm,     # (B, Tp, R, 128) HBM out
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    Sp: int,
+):
+    _, R, L = bT_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    last_c = n_chunks - 1
+    tail = t_true - last_c * tc
+    b = pl.program_id(0)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+
+    def body(lp_buf, be_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lpn_hbm.at[b, pl.ds(chunk * tc, tc)], lp_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                be_buf.at[slot], be_hbm.at[b, pl.ds(chunk * tc, tc)],
+                out_sems.at[slot],
+            )
+
+        in_dma(0, last_c).start()
+        skipf = skipf_ref[0]
+        vmask = vmask_ref[0]
+        bT = bT_ref[0]
+        tt = tt_ref[b, 0]  # scalar from SMEM
+
+        def frames(c, slot, bb, n_frames: int):
+            def step(i, bb):
+                tf = n_frames - 1 - i
+                t = c * tc + tf
+                msg = bb + lp_buf[slot, tf]
+                adv = _wide_shift_bwd(msg, riota, liota, 1, Sp)
+                skip = _wide_shift_bwd(msg, riota, liota, 2, Sp) + skipf
+                nxt = _lse3(msg, adv, skip) + vmask
+                nxt = jnp.where(t + 1 < tt, nxt, bT)
+                be_buf[slot, pl.ds(tf, 1)] = nxt[None]
+                return nxt
+
+            return _frame_loop(0, n_frames, step, bb)
+
+        def run_chunk(c, r_slot, bb, n_frames: int):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, last_c - r_slot - 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, last_c - r_slot).wait()
+
+            @pl.when(r_slot >= 2)
+            def _():
+                out_dma(slot, last_c - r_slot + 2).wait()
+
+            bb = frames(c, slot, bb, n_frames)
+            out_dma(slot, last_c - r_slot).start()
+            return bb
+
+        bb = bT
+        if n_chunks == 1:
+            run_chunk(0, 0, bb, tail)
+        else:
+            bb = run_chunk(last_c, 0, bb, tail)
+            if n_chunks > 2:
+                bb = jax.lax.fori_loop(
+                    1, n_chunks - 1,
+                    lambda r, bb: run_chunk(last_c - r, r, bb, tc), bb,
+                )
+            run_chunk(0, last_c, bb, tc)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((last_c - 1) % 2, 1).wait()
+
+        out_dma(last_c % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        lp_buf=pltpu.VMEM((2, t_chunk, R, L), jnp.float32),
+        be_buf=pltpu.VMEM((2, t_chunk, R, L), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _prep_wide(x, B, Sp, fill):
+    """(B, S) -> (B, R, 128) with padding."""
+    xp = _pad_to(_pad_to(x.astype(jnp.float32), B, 0, fill), Sp, 1, fill)
+    return xp.reshape(xp.shape[0], Sp // LANES, LANES)
+
+
+def _lp_wide(lp, B, Sp, Tp):
+    """(B, T, S) -> (B, Tp, R, 128)."""
+    lpp = _pad_to(_pad_to(lp.astype(jnp.float32), Sp, 2, 0.0), Tp, 1, 0.0)
+    Bq, T2, _ = lpp.shape
+    return lpp.reshape(Bq, T2, Sp // LANES, LANES)
+
+
+# ---------------------------------------------------------------------------
 # Forced alignment: single-program max-semiring trellis + backtrace
 # ---------------------------------------------------------------------------
 #
@@ -467,9 +719,38 @@ def ctc_lattice_forward(
     each row's length, like the XLA scan)."""
     B, T, S = lp.shape
     Sp = _ceil_to(S, LANES)
+    Tp = _ceil_to(T, _T_CHUNK)
+    if _use_wide(S, B):
+        R = Sp // LANES
+        al = pl.pallas_call(
+            functools.partial(
+                _ctc_fwd_wide_kernel, t_chunk=_T_CHUNK, t_total=Tp,
+                t_true=T,
+            ),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, Tp, R, LANES), jnp.float32),
+            interpret=_use_interpret(),
+        )(
+            _lp_wide(lp, B, Sp, Tp),
+            _prep_wide(skip_add, B, Sp, _NEG),
+            _prep_wide(vmask, B, Sp, _NEG),
+            _prep_wide(a0, B, Sp, _NEG),
+            input_lengths.astype(jnp.int32)[:, None],
+        )
+        return al.reshape(B, Tp, Sp)[:, :T, :S]
     bt = _pick_ctc_b_tile(B, Sp) or SUBLANES
     Bs = _ceil_to(B, bt)
-    Tp = _ceil_to(T, _T_CHUNK)
     lp_t = _pad_to(
         jnp.transpose(
             _pad_to(_pad_to(lp.astype(jnp.float32), Bs, 0, 0.0),
@@ -519,9 +800,39 @@ def ctc_lattice_backward(
     """Beta table ``(B, T, S)`` (the XLA scan's conventions)."""
     B, T, S = lp.shape
     Sp = _ceil_to(S, LANES)
+    Tp = _ceil_to(T, _T_CHUNK)
+    if _use_wide(S, B):
+        R = Sp // LANES
+        lp_next_w = jnp.concatenate([lp[:, 1:], lp[:, -1:]], axis=1)
+        be = pl.pallas_call(
+            functools.partial(
+                _ctc_bwd_wide_kernel, t_chunk=_T_CHUNK, t_total=Tp,
+                t_true=T, Sp=Sp,
+            ),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, Tp, R, LANES), jnp.float32),
+            interpret=_use_interpret(),
+        )(
+            _lp_wide(lp_next_w, B, Sp, Tp),
+            _prep_wide(skip_fwd, B, Sp, _NEG),
+            _prep_wide(vmask, B, Sp, _NEG),
+            _prep_wide(bT, B, Sp, _NEG),
+            input_lengths.astype(jnp.int32)[:, None],
+        )
+        return be.reshape(B, Tp, Sp)[:, :T, :S]
     bt = _pick_ctc_b_tile(B, Sp) or SUBLANES
     Bs = _ceil_to(B, bt)
-    Tp = _ceil_to(T, _T_CHUNK)
     # Row t of the streamed buffer holds lp[t+1] (the recursion at t
     # consumes the successor frame); the final row is a dummy.
     lp_next = jnp.concatenate([lp[:, 1:], lp[:, -1:]], axis=1)

@@ -131,7 +131,9 @@ def test_supported_predicate():
     assert ctc_lattice_supported(201, 16)     # multi-tile lattice
     assert ctc_lattice_supported(512, 128)    # batch grid tiles VMEM
     assert ctc_lattice_supported(512, 256)    # any batch <= _MAX_B
-    assert not ctc_lattice_supported(600, 16)  # beyond the lane budget
+    assert ctc_lattice_supported(600, 16)     # wide 2-D lattice layout
+    assert ctc_lattice_supported(2048, 32)    # wide cap
+    assert not ctc_lattice_supported(2049, 16)  # beyond the wide cap
     assert not ctc_lattice_supported(101, 512)  # batch > _MAX_B
 
 
@@ -227,3 +229,53 @@ def test_ctc_beam_decode_large_vocab():
                                    blank_id=0)
         got = list(np.asarray(tokens[b, : out_lens[b]]))
         assert got == list(host), (b, got, host)
+
+
+@pytest.mark.slow
+def test_ctc_wide_lattice_2048(monkeypatch):
+    """S > 512 rides the 2-D lattice layout (wide kernels): U=900
+    labels -> lattice 1801 (padded 1920), checked against the XLA
+    scans in interpret mode."""
+    import pytorch_hmm_tpu.alignment.ctc as ctc_mod
+    from pytorch_hmm_tpu.alignment.ctc import ctc_forward_algorithm
+    from pytorch_hmm_tpu.alignment.ctc import ctc_backward_algorithm
+    from pytorch_hmm_tpu.ops.ctc_kernel import (
+        _use_wide, ctc_lattice_supported,
+    )
+
+    B, T, C, U = 2, 1000, 50, 450
+    log_probs, targets, in_lens, tgt_lens = _problem(B, T, C, U, 13,
+                                                     ragged=True)
+    S = 2 * U + 1
+    assert ctc_lattice_supported(S, B) and _use_wide(S, B)
+    assert ctc_lattice_supported(2048, 4)
+
+    a_xla, ll_xla = ctc_forward_algorithm(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    b_xla = ctc_backward_algorithm(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    monkeypatch.setattr(ctc_mod, "_use_ctc_kernels", lambda s, b: True)
+    jax.clear_caches()
+    a_k, ll_k = ctc_forward_algorithm(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    b_k = ctc_backward_algorithm(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(ll_k), np.asarray(ll_xla),
+                               rtol=1e-4, atol=1e-3)
+    # Compare meaningful cells only (valid positions within lengths;
+    # sentinel accumulation differs between implementations).
+    m = (
+        (np.arange(2 * U + 1)[None, None, :]
+         < (2 * np.asarray(tgt_lens) + 1)[:, None, None])
+        & (np.arange(T)[None, :, None]
+           < np.asarray(in_lens)[:, None, None])
+    )
+    for k, x in ((a_k, a_xla), (b_k, b_xla)):
+        k, x = np.asarray(k), np.asarray(x)
+        sel = m & (x > -1e29)
+        np.testing.assert_allclose(k[sel], x[sel], atol=2e-3)
