@@ -30,8 +30,25 @@ struct Complex {
   float im;
 };
 
+// Precomputed twiddle tables, one per FFT stage (table lookup instead
+// of the serial w = w*wl recurrence: the inner butterflies become
+// independent and auto-vectorize under -ffast-math).
+struct FftPlan {
+  std::vector<std::vector<Complex>> tw;  // tw[s][k], stage len = 2<<s
+  explicit FftPlan(size_t n) {
+    for (size_t len = 2; len <= n; len <<= 1) {
+      std::vector<Complex> t(len / 2);
+      const float ang = -2.0f * kPi / static_cast<float>(len);
+      for (size_t k = 0; k < len / 2; ++k) {
+        t[k] = {std::cos(ang * k), std::sin(ang * k)};
+      }
+      tw.push_back(std::move(t));
+    }
+  }
+};
+
 // In-place iterative radix-2 Cooley-Tukey FFT. n must be a power of two.
-void fft(std::vector<Complex>& a) {
+void fft(std::vector<Complex>& a, const FftPlan& plan) {
   const size_t n = a.size();
   // Bit-reversal permutation.
   for (size_t i = 1, j = 0; i < n; ++i) {
@@ -40,22 +57,18 @@ void fft(std::vector<Complex>& a) {
     j ^= bit;
     if (i < j) std::swap(a[i], a[j]);
   }
-  for (size_t len = 2; len <= n; len <<= 1) {
-    const float ang = -2.0f * kPi / static_cast<float>(len);
-    const Complex wl{std::cos(ang), std::sin(ang)};
+  size_t stage = 0;
+  for (size_t len = 2; len <= n; len <<= 1, ++stage) {
+    const Complex* t = plan.tw[stage].data();
     for (size_t i = 0; i < n; i += len) {
-      Complex w{1.0f, 0.0f};
+      Complex* lo = &a[i];
+      Complex* hi = &a[i + len / 2];
       for (size_t k = 0; k < len / 2; ++k) {
-        const Complex u = a[i + k];
-        const Complex v{a[i + k + len / 2].re * w.re -
-                            a[i + k + len / 2].im * w.im,
-                        a[i + k + len / 2].re * w.im +
-                            a[i + k + len / 2].im * w.re};
-        a[i + k] = {u.re + v.re, u.im + v.im};
-        a[i + k + len / 2] = {u.re - v.re, u.im - v.im};
-        const Complex nw{w.re * wl.re - w.im * wl.im,
-                         w.re * wl.im + w.im * wl.re};
-        w = nw;
+        const Complex u = lo[k];
+        const Complex v{hi[k].re * t[k].re - hi[k].im * t[k].im,
+                        hi[k].re * t[k].im + hi[k].im * t[k].re};
+        lo[k] = {u.re + v.re, u.im + v.im};
+        hi[k] = {u.re - v.re, u.im - v.im};
       }
     }
   }
@@ -88,7 +101,11 @@ struct Framer {
 
   std::vector<float> window;          // Hann, frame_len
   std::vector<float> mel_weights;     // (n_mels, n_fft/2+1) row-major
+  std::vector<int> mel_lo;            // first nonzero bin per mel band
+  std::vector<int> mel_hi;            // one past the last nonzero bin
   std::vector<Complex> fft_buf;
+  std::vector<float> power_buf;       // n_fft/2+1, per-frame scratch
+  FftPlan fft_plan;
 
   Framer(int sr, int nfft, int flen, int h, int nm, float pre,
          size_t capacity)
@@ -100,7 +117,9 @@ struct Framer {
         preemph(pre),
         ring(capacity),
         window(flen),
-        fft_buf(nfft) {
+        fft_buf(nfft),
+        power_buf(static_cast<size_t>(nfft) / 2 + 1),
+        fft_plan(static_cast<size_t>(nfft)) {
     for (int i = 0; i < flen; ++i) {
       window[i] =
           0.5f - 0.5f * std::cos(2.0f * kPi * i / (flen - 1));
@@ -128,6 +147,20 @@ struct Framer {
         else if (f >= mid && f < hi) w = (hi - f) / (hi - mid);
         mel_weights[static_cast<size_t>(m) * n_bins + b] = w;
       }
+      // Nonzero band range (triangular filters are sparse: ~n_bins/n_mels
+      // active bins per band, so the per-frame mel loop touches ~2 x
+      // n_bins MACs total instead of n_mels x n_bins).
+      int first = 0;
+      while (first < n_bins &&
+             mel_weights[static_cast<size_t>(m) * n_bins + first] == 0.0f)
+        ++first;
+      int last = n_bins;
+      while (last > first &&
+             mel_weights[static_cast<size_t>(m) * n_bins + last - 1] ==
+                 0.0f)
+        --last;
+      mel_lo.push_back(first);
+      mel_hi.push_back(last);
     }
   }
 
@@ -176,15 +209,18 @@ struct Framer {
     prev_sample =
         hop >= 1 ? ring[static_cast<size_t>((t + hop - 1) % capacity())]
                  : prev_sample;
-    fft(fft_buf);
+    fft(fft_buf, fft_plan);
     const int n_bins = n_fft / 2 + 1;
+    // Power spectrum once (it was recomputed per mel band before).
+    for (int b = 0; b < n_bins; ++b) {
+      power_buf[b] = fft_buf[b].re * fft_buf[b].re +
+                     fft_buf[b].im * fft_buf[b].im;
+    }
     for (int m = 0; m < n_mels; ++m) {
       float acc = 1e-10f;
       const float* w = &mel_weights[static_cast<size_t>(m) * n_bins];
-      for (int b = 0; b < n_bins; ++b) {
-        const float p = fft_buf[b].re * fft_buf[b].re +
-                        fft_buf[b].im * fft_buf[b].im;
-        acc += w[b] * p;
+      for (int b = mel_lo[m]; b < mel_hi[m]; ++b) {
+        acc += w[b] * power_buf[b];
       }
       out[m] = std::log(acc);
     }

@@ -130,6 +130,15 @@ BENCH_MODELS = {
         serial_steps=2 * 999,  # wavefront + backtrace chains
         smallk=True,
     ),
+    # B=32 T=1000 S=12 C=4 D=80 FULL-covariance GMM decode: the
+    # whitening contraction is B·T·S·C·D² MACs (inverse-Cholesky
+    # matmul form), then the same smallk trellis.
+    "mixture_gaussian_full_cov_decode_rtf_b32_T1000_s12_c4_d80": dict(
+        hbm_bytes=32e3 * 80 * 4 + 2 * 32e3 * 12 * 4 + 32e3 * 4,
+        mxu_flops=2 * 32e3 * 48 * 80 * 80,
+        serial_steps=1000,
+        smallk=True,
+    ),
 }
 
 

@@ -42,6 +42,10 @@ class TestExampleMains:
     def test_forced_alignment(self):
         _load(EXAMPLES_DIR / "forced_alignment.py").main(quick=True)
 
+    def test_streaming_e2e(self):
+        p50 = _load(EXAMPLES_DIR / "streaming_e2e.py").main(quick=True)
+        assert p50 > 0.0
+
     def test_benchmark(self, tmp_path):
         out = tmp_path / "report.json"
         _load(EXAMPLES_DIR / "benchmark.py").main(
