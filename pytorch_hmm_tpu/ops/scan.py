@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "pallas_forward", "pallas_forward_prob", "pallas_backward",
-    "pallas_viterbi",
+    "pallas_backward_prob", "pallas_viterbi",
 ]
 
 LANES = 128
@@ -517,6 +517,213 @@ def pallas_forward_prob(
     log_alpha = alpha_p[:B, :T, :K]
     lz = jax.scipy.special.logsumexp(log_alpha[:, -1, :], axis=-1)
     return log_alpha, lz
+
+
+# ---------------------------------------------------------------------------
+# Long-sequence backward: minimal-latency prob-space chain
+# ---------------------------------------------------------------------------
+#
+# Mirror of ``pallas_forward_prob`` for the reverse recursion. The
+# carried quantity is ``u_t = e_t ⊙ beta_t`` (scaled), whose recursion
+#
+#     u_t = e_t ⊙ (u_{t+1} @ Aᵀ)
+#
+# has exactly the forward kernel's ``dot → multiply → store`` chain
+# shape (carrying beta directly gives ``multiply → dot``, measured
+# slower). exp/suffix-cumsum/rescale/log all run as vectorized
+# per-chunk passes; the post-pass recovers
+# ``log beta_t = log u_t + shifts − lo_t``. The all-ones carry is an
+# exact fixed point under zero-padded frames (1 @ Aᵀ = 1 for
+# row-stochastic A), so T-padding needs no masking at all.
+
+
+def _backward_prob_kernel(
+    lo_hbm, pa_t_ref, tri_ref, exp_ref, beta_out, *,
+    t_chunk, T, b_tile, precision, rs,
+):
+    Bt = b_tile
+    K = pa_t_ref.shape[1]
+    n_chunks = T // t_chunk
+    n_rs = t_chunk // rs
+    b0 = pl.program_id(0) * Bt
+
+    def body(obs_buf, q_buf, m_buf, m_col, c_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
+                obs_buf.at[slot], in_sems.at[slot])
+
+        def out_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                q_buf.at[slot],
+                beta_out.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                out_sems.at[slot])
+
+        in_dma(0, n_chunks - 1).start()
+
+        def chunk_body(r, carry):
+            # q: scaled u_{t+1} = e_{t+1} ⊙ beta_{t+1}; C: log-scale
+            # (rescale logs + m totals of later chunks). Rows hold the
+            # UNSHIFTED lo (the u-recursion consumes its own frame's e).
+            q, C = carry
+            c = n_chunks - 1 - r
+            slot = r % 2
+
+            @pl.when(r + 1 < n_chunks)
+            def _():
+                in_dma((r + 1) % 2, c - 1).start()
+
+            in_dma(slot, c).wait()
+
+            @pl.when(r >= 2)
+            def _():
+                out_dma(slot, n_chunks - 1 - (r - 2)).wait()
+
+            # ---- pre-pass: shift + exp the whole chunk ----
+            lo_chunk = obs_buf[slot]                      # (Bt, tc, K)
+            m = jnp.maximum(
+                jnp.max(lo_chunk, axis=-1, keepdims=True), _NEG
+            )
+            obs_buf[slot] = jnp.exp(lo_chunk - m)
+            # INCLUSIVE suffix sum: mrev[t] = sum_{u >= t} m[u]
+            # (tri_ref[u, t] = 1 for u >= t) — u_t's scale includes its
+            # own frame's m.
+            mrev = jax.lax.dot_general(
+                m[:, :, 0], tri_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                             # (Bt, tc)
+            m_buf[slot] = mrev
+            m_col[slot] = m[:, :, 0]
+            msum = mrev[:, 0:1]                           # Σ m over chunk
+
+            # ---- serial chain: reverse rs blocks, minimal body ----
+            def rs_block(rbi, carry):
+                q, C = carry
+                rb = n_rs - 1 - rbi
+                c_buf[slot, :, pl.ds(rb, 1)] = C
+
+                def frame(i, q):
+                    tf = rb * rs + (rs - 1 - i)
+                    s = jax.lax.dot_general(
+                        q, pa_t_ref[:, :], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    # s IS scaled beta_t (before its own e); store it
+                    # and carry u_t = s ⊙ e_t.
+                    q_buf[slot, :, tf, :] = s
+                    return s * obs_buf[slot, :, tf, :]
+
+                q = jax.lax.fori_loop(0, rs, frame, q, unroll=rs)
+                r_ = jnp.maximum(
+                    jnp.max(q, axis=-1, keepdims=True), 1e-37)
+                return q * (1.0 / r_), C + jnp.log(r_)
+
+            q, C = jax.lax.fori_loop(
+                0, n_rs, rs_block, (q, C),
+                unroll=n_rs if not _use_interpret() else 1)
+
+            # ---- post-pass: staged s -> log-beta ----
+            # The staged value is beta_t scaled by everything EXCEPT
+            # its own frame's m, so the shift is the exclusive suffix
+            # sum mrev[t] - m[t] plus the block-entry rescale log.
+            qs = q_buf[slot]
+            crep = jax.lax.dot_general(
+                c_buf[slot], exp_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            shift = crep + (m_buf[slot] - m_col[slot])
+            q_buf[slot] = jnp.log(jnp.maximum(qs, 1e-37)) + shift[:, :, None]
+            out_dma(slot, c).start()
+            return q, C + msum
+
+        q0 = jnp.ones((Bt, K), jnp.float32)
+        C0 = jnp.zeros((Bt, 1), jnp.float32)
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (q0, C0))
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, 1).wait()
+
+        out_dma((n_chunks - 1) % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        obs_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        q_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        m_buf=pltpu.VMEM((2, Bt, t_chunk), jnp.float32),
+        m_col=pltpu.VMEM((2, Bt, t_chunk), jnp.float32),
+        c_buf=pltpu.VMEM((2, Bt, t_chunk // rs), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_chunk", "b_tile", "rs", "precision")
+)
+def pallas_backward_prob(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    t_chunk: int = 128,
+    b_tile: Optional[int] = None,
+    rs: int = 8,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Long-sequence ``log_beta (B, T, K)`` on the minimal-latency
+    prob-space kernel (no ``lengths``; ragged batches use the log-space
+    kernel). Same precision semantics as ``pallas_forward_prob``."""
+    B, T, K = log_obs.shape
+    Kp = _ceil_to(K, LANES)
+    if b_tile is None:
+        bt = _pick_b_tile(B, Kp, t_chunk)
+        b_tile = bt if B % bt == 0 else SUBLANES
+    Tp = _ceil_to(T, t_chunk)
+    Bp = _ceil_to(B, b_tile)
+
+    # Stream UNSHIFTED lo (the u-recursion consumes its own frame's
+    # emission); T-padding rows are zeros, whose exp-shifted value is
+    # ones — the fixed point of the padded recursion.
+    lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
+    lo = _pad_to(lo, Tp, 1, 0.0)
+    lo = _pad_to(lo, Bp, 0, 0.0)
+    la = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
+    la = _pad_to(la, Kp, 1, _NEG)
+    pa_t = jnp.exp(la).T
+    # tri[u, t] = 1 for u >= t: INCLUSIVE suffix sum over shifted rows.
+    tri_u = jnp.tril(jnp.ones((t_chunk, t_chunk), jnp.float32))
+    n_rs = t_chunk // rs
+    expand = (
+        jnp.arange(t_chunk)[None, :] // rs
+        == jnp.arange(n_rs)[:, None]
+    ).astype(jnp.float32)
+
+    nb = Bp // b_tile
+    beta_p = pl.pallas_call(
+        functools.partial(
+            _backward_prob_kernel, t_chunk=t_chunk, T=Tp, b_tile=b_tile,
+            precision=precision, rs=rs,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, t_chunk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rs, t_chunk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+        interpret=_use_interpret(),
+    )(lo, pa_t, tri_u, expand)
+
+    return beta_p[:B, :T, :K]
 
 
 # ---------------------------------------------------------------------------

@@ -309,3 +309,18 @@ def test_smallk_supported_bounds():
     assert smallk_supported(32, 256)
     assert not smallk_supported(33, 32)
     assert not smallk_supported(12, 257)
+
+
+def test_pallas_backward_prob_matches_core():
+    """Minimal-latency prob-space long-sequence backward (interpret
+    mode here; hardware-validated)."""
+    from pytorch_hmm_tpu.ops import pallas_backward_prob
+
+    B, T, K = 3, 300, 11
+    rng = np.random.default_rng(4)
+    lo = jnp.asarray(rng.normal(size=(B, T, K)) * 3.0, jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+    ref = core.backward_log(lo, la)
+    for rs in (4, 8):
+        b_p = pallas_backward_prob(lo, la, rs=rs)
+        np.testing.assert_allclose(b_p, ref, atol=2e-3)
