@@ -21,10 +21,11 @@ Chip model (TPU v5e, 1 core):
   how little arithmetic each step does — on this workload family the
   binding resource is usually this latency chain, not bandwidth or
   FLOPs.
-* ``SERIAL_STEP_SMALLK`` 130 ns: measured per-step cost of the
-  transposed-layout (states-on-sublanes) trellis kernels at S ≤ 32
-  (ops/smallk.py at the flagship shape) — a tighter floor for the
-  small-state decode family; their VPU max-trees avoid the MXU dot.
+* ``SERIAL_STEP_SMALLK`` 100 ns: measured per-step cost of the
+  transposed-layout (states-on-sublanes) decode kernels at S ≤ 32,
+  averaged over their trellis (~130 ns) and gather-backtrace (~70 ns)
+  chains (ops/smallk.py at the flagship shape) — a tighter floor for
+  the small-state decode family; their VPU max-trees avoid the MXU dot.
 
 These are *measured floors on this chip*, not theoretical minima: they
 already include Mosaic's loop/issue overhead, so "100% of ceiling"
@@ -44,7 +45,7 @@ V5E = {
     "mxu_f32": 197e12 / 6.0,  # FLOP/s, Precision.HIGHEST
     "vpu_f32": 3.8e12,        # elementwise FLOP/s (4 ALUs x (8,128) x 940 MHz)
     "serial_step": 190e-9,    # s, lane-layout dependent dot+mul floor
-    "serial_step_smallk": 130e-9,  # s, transposed small-S trellis floor
+    "serial_step_smallk": 100e-9,  # s, transposed small-S decode floor
 }
 
 
@@ -76,17 +77,19 @@ BENCH_MODELS = {
         + 2 * 32e3 * 12 * 4            # (B,T,S) log-obs write+read
         + 32e3 * 4,                    # states out
         mxu_flops=2 * 32e3 * 80 * 48,  # emission GEMMs
-        serial_steps=1000,
+        serial_steps=2 * 1000,         # trellis chain + backtrace chain
         smallk=True,
     ),
     # B=32 T=1000 S=10 D=20 HSMM segment DP (transposed kernel).
     "hsmm_decode_rtf_b32_T1000_s10_d20": dict(
         hbm_bytes=32e3 * 80 * 4 + 2 * 32e3 * 10 * 4 + 32e3 * 4,
         mxu_flops=2 * 32e3 * 80 * 10,
-        serial_steps=1000,
+        serial_steps=2 * 1000,         # segment DP + backtrace chains
         smallk=True,
     ),
-    # chunk=160 S=12 D=80 streaming beam step.
+    # chunk=160 S=12 D=80 streaming beam step. NOTE: the beam body
+    # (rank top-k + path-history select) is ~4x the bare-trellis
+    # per-step floor, so this row's fraction is a conservative bound.
     "streaming_chunk_p50_s12_d80_beam": dict(
         hbm_bytes=160 * 80 * 4 + 160 * 4,
         mxu_flops=2 * 160 * 80 * 12,
@@ -111,7 +114,7 @@ BENCH_MODELS = {
     "semi_markov_decode_rtf_b24_T800_s10_d20": dict(
         hbm_bytes=24 * 800 * 80 * 4 + 2 * 24 * 800 * 10 * 4 + 24 * 800 * 4,
         mxu_flops=2 * 24 * 800 * 80 * 10,
-        serial_steps=800,
+        serial_steps=2 * 800,          # segment DP + backtrace chains
         smallk=True,
     ),
     # B=16 T=500 C=40 U=50 CTC forced alignment (banded lattice,
@@ -136,7 +139,7 @@ BENCH_MODELS = {
     "mixture_gaussian_full_cov_decode_rtf_b32_T1000_s12_c4_d80": dict(
         hbm_bytes=32e3 * 80 * 4 + 2 * 32e3 * 12 * 4 + 32e3 * 4,
         mxu_flops=2 * 32e3 * 48 * 80 * 80,
-        serial_steps=1000,
+        serial_steps=2 * 1000,
         smallk=True,
     ),
 }
