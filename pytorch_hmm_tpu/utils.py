@@ -312,11 +312,9 @@ def gaussian_log_likelihood(
     # instead of a (B, T, K)-batched triangular solve per frame: the
     # whitening becomes one MXU contraction, and broadcasting a (K,D,D)
     # solve against (B,T,K,D) batch dims is not supported anyway.
-    eye = jnp.eye(D, dtype=obs.dtype)
-    inv_chol = jax.vmap(
-        lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    )(chol)  # (K, D, D)
+    from .emissions import tril_inverse
     from .precision import mxu_einsum
+    inv_chol = tril_inverse(chol)  # (K, D, D)
     y = mxu_einsum("kde,btke->btkd", inv_chol, diff)
     mahal = jnp.sum(y * y, axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
