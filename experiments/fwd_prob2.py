@@ -29,7 +29,8 @@ speech log-probs; RS=4 tolerates e^-21. Both variants measured.
 import functools
 import sys
 
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -346,7 +346,6 @@ def ctc_loss(
     return nll
 
 
-@partial(jax.jit, static_argnames=("blank_id",))
 def ctc_viterbi_alignment(
     log_probs: jax.Array,
     targets: jax.Array,
@@ -360,6 +359,28 @@ def ctc_viterbi_alignment(
     likely frame-level label sequence consistent with the target.
     Frames beyond ``input_lengths`` repeat the final label.
     """
+    from ..ops.ctc_kernel import ctc_viterbi_kernel_supported
+
+    T, B, _C = log_probs.shape
+    U = targets.shape[1]
+    S = 2 * U + 1
+    # Kernel choice evaluated OUTSIDE the jit (static arg), so the
+    # PYTORCH_HMM_TPU_NO_PALLAS toggle stays live at call time — same
+    # contract as _ctc_forward_impl.
+    use_kernel = (
+        _use_ctc_kernels(S, B) and ctc_viterbi_kernel_supported(T, B, S)
+    )
+    return _ctc_viterbi_impl(
+        log_probs, targets, input_lengths, target_lengths,
+        blank_id=blank_id, use_kernel=use_kernel,
+    )
+
+
+@partial(jax.jit, static_argnames=("blank_id", "use_kernel"))
+def _ctc_viterbi_impl(
+    log_probs, targets, input_lengths, target_lengths,
+    blank_id: int, use_kernel: bool,
+) -> Tuple[jax.Array, jax.Array]:
     T, B, C = log_probs.shape
     expanded = expand_targets_with_blank(targets, blank_id)
     S = expanded.shape[1]
@@ -374,9 +395,7 @@ def ctc_viterbi_alignment(
     a0 = a0.at[:, 1].set(jnp.where(target_lengths > 0, lp[:, 0, 1], _NEG))
     a0 = jnp.where(valid_pos, a0, _NEG)
 
-    from ..ops.ctc_kernel import ctc_viterbi_kernel_supported
-
-    if _use_ctc_kernels(S, B) and ctc_viterbi_kernel_supported(T, B, S):
+    if use_kernel:
         # Single-program Pallas trellis + in-kernel backtrace
         # (measured 1.18 ms -> ~0.2 ms at B=16 T=500 U=50 on v5e-1).
         from ..ops.ctc_kernel import ctc_lattice_viterbi

@@ -18,7 +18,6 @@ Deliberate differences (SURVEY.md §5 "Config / flag system"):
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Any, Dict, Optional
 
@@ -49,30 +48,43 @@ __all__ = [
 ]
 
 
-@dataclasses.dataclass
 class Config:
     """Framework configuration (``__init__.py:187-226``).
 
-    Unlike the reference's class-attribute global, this is a plain
-    dataclass; ``pytorch_hmm_tpu.config`` is the default instance.
+    ``pytorch_hmm_tpu.config`` is the default instance.
 
     ``USE_MIXED_PRECISION`` and ``USE_CHECKPOINTING`` are LIVE flags
     (the reference declares them and never reads them, reference
-    ``__init__.py:198-205``): they delegate to :mod:`..precision`,
+    ``__init__.py:198-205``): they delegate to :mod:`..precision` —
+    process-global state, like the reference's class-attribute Config —
     which emission scoring and gradient paths consult at trace time.
-    See ``precision.py`` for semantics and error bounds.
+    See ``precision.py`` for semantics and error bounds. Constructing a
+    ``Config`` with either flag therefore sets the global policy.
     """
 
-    EPS: float = 1e-8
-    LOG_EPS: float = math.log(1e-8)
-    DEFAULT_CHUNK_SIZE: int = 1000
-    # The TPU build has no hard sequence cap (long sequences shard over
-    # the time axis); this mirrors the reference field for compatibility
-    # and is advisory only.
-    MAX_SEQUENCE_LENGTH: int = 100_000
-    # Resolved lazily: reading the backend at import time would
-    # initialize XLA before multihost jax.distributed.initialize runs.
-    _platform: str = ""
+    def __init__(
+        self,
+        EPS: float = 1e-8,
+        LOG_EPS: float = math.log(1e-8),
+        DEFAULT_CHUNK_SIZE: int = 1000,
+        MAX_SEQUENCE_LENGTH: int = 100_000,
+        USE_MIXED_PRECISION: Optional[bool] = None,
+        USE_CHECKPOINTING: Optional[bool] = None,
+    ):
+        self.EPS = EPS
+        self.LOG_EPS = LOG_EPS
+        self.DEFAULT_CHUNK_SIZE = DEFAULT_CHUNK_SIZE
+        # The TPU build has no hard sequence cap (long sequences shard
+        # over the time axis); this mirrors the reference field for
+        # compatibility and is advisory only.
+        self.MAX_SEQUENCE_LENGTH = MAX_SEQUENCE_LENGTH
+        if USE_MIXED_PRECISION is not None:
+            precision.set_mixed_precision(USE_MIXED_PRECISION)
+        if USE_CHECKPOINTING is not None:
+            precision.set_checkpointing(USE_CHECKPOINTING)
+        # Resolved lazily: reading the backend at import time would
+        # initialize XLA before multihost jax.distributed.initialize.
+        self._platform: str = ""
 
     @property
     def PLATFORM(self) -> str:

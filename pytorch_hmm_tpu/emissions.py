@@ -130,13 +130,19 @@ def full_gaussian_log_probs(
     inv_chol = tril_inverse(chol)  # (K, D, D): L^{-1}
     logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
     log_norm = -0.5 * D * _LOG_2PI - logdet  # (K,)
-    wm = jnp.einsum("ked,kd->ke", inv_chol, means)  # L^{-1} μ, (K, D)
+    # Center on the mean of the means: the quadratic expansion cancels
+    # catastrophically when |x| is large relative to the Mahalanobis
+    # distance; shifting x and mu by the same constant is exact and
+    # keeps the expanded terms O(distance) for un-centered features.
+    center = jnp.mean(means, axis=0)
+    mu_c = means - center
+    wm = jnp.einsum("ked,kd->ke", inv_chol, mu_c)          # L⁻¹ μ̃, (K, D)
     prec = jnp.einsum("ked,kef->kdf", inv_chol, inv_chol)  # Σ⁻¹, (K, D, D)
-    pm = jnp.einsum("kde,ke->kd", prec, means)             # Σ⁻¹ μ
-    mm = jnp.sum(wm * wm, axis=-1)                         # μᵀ Σ⁻¹ μ, (K,)
+    pm = jnp.einsum("kde,ke->kd", prec, mu_c)              # Σ⁻¹ μ̃
+    mm = jnp.sum(wm * wm, axis=-1)                         # μ̃ᵀ Σ⁻¹ μ̃, (K,)
 
     pad = (-T) % time_chunk
-    obs_p = jnp.pad(obs, ((0, 0), (0, pad), (0, 0)))
+    obs_p = jnp.pad(obs - center, ((0, 0), (0, pad), (0, 0)))
     n_chunks = obs_p.shape[1] // time_chunk
 
     def score_chunk(x):
@@ -144,7 +150,9 @@ def full_gaussian_log_probs(
             "btd,kde,bte->btk", x, prec, x, dtype=compute_dtype
         )
         xq = mxu_einsum("btd,kd->btk", x, pm, dtype=compute_dtype)
-        mahal = xpx - 2.0 * xq + mm
+        # A true Mahalanobis distance is non-negative; clamp so rounding
+        # in the expansion can never push log-probs above log_norm.
+        mahal = jnp.maximum(xpx - 2.0 * xq + mm, 0.0)
         return log_norm[None, None] - 0.5 * mahal
 
     if n_chunks == 1:

@@ -30,7 +30,8 @@ from flax import nnx
 from .. import core
 from ..core.semiring import logsumexp, safe_log
 from ..ops import auto_gmm_viterbi, auto_log_likelihood
-from ..emissions import flat_dim, gmm_component_log_probs, tril_from_flat
+from ..emissions import (flat_dim, gmm_component_log_probs,
+                         gmm_log_probs, tril_from_flat)
 from ..precision import maybe_remat
 from .common import Buffer, TrainMode
 
@@ -165,11 +166,10 @@ class MixtureGaussianHMMLayer(TrainMode):
         (``precision.maybe_remat``) instead of stored across it."""
 
         def _score(o, means, cov_params, mixture_logits):
-            comp = gmm_component_log_probs(
-                o, means, cov_params, self.covariance_type
+            return gmm_log_probs(
+                o, means, cov_params, mixture_logits,
+                self.covariance_type,
             )
-            log_w = jax.nn.log_softmax(mixture_logits, axis=-1)
-            return logsumexp(comp + log_w[None, None], axis=-1)
 
         log_obs = maybe_remat(_score)(
             observations, self.means[...], self.cov_params[...],

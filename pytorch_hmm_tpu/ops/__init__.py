@@ -44,6 +44,7 @@ __all__ = [
     "pallas_forward",
     "pallas_forward_prob",
     "pallas_backward",
+    "pallas_backward_prob",
     "pallas_viterbi",
     "pallas_log_likelihood",
     "auto_forward",
@@ -431,12 +432,13 @@ def auto_hsmm_posteriors(log_obs, log_a, log_pi, log_dur, lengths=None):
 def auto_gmm_viterbi(
     obs,
     means,
-    cov_params,
-    log_w,
-    log_a,
-    log_pi,
+    cov_params=None,
+    log_w=None,
+    log_a=None,
+    log_pi=None,
     lengths: Optional[jax.Array] = None,
     covariance_type: str = "diag",
+    log_vars=None,
 ):
     """GMM-HMM decode ``(states, score)`` for ALL covariance families —
     the flagship path.
@@ -461,6 +463,8 @@ def auto_gmm_viterbi(
     """
     from ..emissions import gmm_log_probs
 
+    if cov_params is None:
+        cov_params = log_vars  # pre-r3 keyword name (diag-only era)
     S, C = log_w.shape
     B = obs.shape[0]
     on_tpu = not _pallas_opt_out() and jax.default_backend() == "tpu"

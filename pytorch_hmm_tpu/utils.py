@@ -315,7 +315,10 @@ def gaussian_log_likelihood(
     from .emissions import tril_inverse
     from .precision import mxu_einsum
     inv_chol = tril_inverse(chol)  # (K, D, D)
-    y = mxu_einsum("kde,btke->btkd", inv_chol, diff)
+    # Explicit f32 request: this is a general-purpose toolbox function
+    # with no precision policy knob in its contract — always exact
+    # (mixed precision applies to the model emission paths instead).
+    y = mxu_einsum("kde,btke->btkd", inv_chol, diff, dtype=jnp.float32)
     mahal = jnp.sum(y * y, axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
     ll = -0.5 * (D * jnp.log(2 * jnp.pi) + logdet)[None, None] - 0.5 * mahal

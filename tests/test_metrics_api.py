@@ -180,5 +180,34 @@ def test_check_optional_dependencies():
 
 
 def test_auto_configure_explicit():
-    info = ph.auto_configure()
-    assert info["device"] in ("cpu", "gpu", "tpu")
+    from pytorch_hmm_tpu import precision
+
+    before = (precision.mixed_precision_enabled(),
+              precision.checkpointing_enabled())
+    try:
+        info = ph.auto_configure()
+        assert info["device"] in ("cpu", "gpu", "tpu")
+        # On CPU, auto_configure turns mixed precision off (reference
+        # behavior) — the global flag must reflect that here.
+        if info["device"] == "cpu":
+            assert ph.config.USE_MIXED_PRECISION is False
+    finally:
+        # The flags are process-global policy: restore so test order
+        # doesn't leak across this xdist worker.
+        precision.set_mixed_precision(before[0])
+        precision.set_checkpointing(before[1])
+
+
+def test_config_constructor_kwargs():
+    from pytorch_hmm_tpu import precision
+
+    before = (precision.mixed_precision_enabled(),
+              precision.checkpointing_enabled())
+    try:
+        cfg = ph.Config(USE_MIXED_PRECISION=False, USE_CHECKPOINTING=False)
+        assert cfg.USE_MIXED_PRECISION is False
+        assert cfg.USE_CHECKPOINTING is False
+        assert cfg.EPS == 1e-8
+    finally:
+        precision.set_mixed_precision(before[0])
+        precision.set_checkpointing(before[1])
