@@ -87,9 +87,10 @@ def pallas_available(num_states: int) -> bool:
     )
 
 
-# Below this T the log-space kernel's accuracy edge is free (the prob
-# kernel's win grows with T; measured crossover well under 4096 frames).
-_PROB_FWD_MIN_T = 4096
+# Below this T the log-space kernel's accuracy edge is free; the prob
+# kernel wins from T≈1024 on (measured at K=64 B=32 on v5e: 0.24 vs
+# 0.18 ms at T=1024, 1.44× by T=131072; even at T=512 both are ~0.11).
+_PROB_FWD_MIN_T = 1024
 
 
 def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None,
