@@ -155,13 +155,14 @@ def test_ctc_viterbi_kernel_matches_xla(B, T, C, U, seed, ragged,
     ali_xla, score_xla = ctc_viterbi_alignment(
         log_probs, targets, in_lens, tgt_lens
     )
-    # Force the kernel path (interpret mode runs it on CPU).
+    # Force the kernel path (interpret mode runs it on CPU). The
+    # dispatch is a static jit arg evaluated at CALL time, so flipping
+    # it must take effect WITHOUT jax.clear_caches (the live
+    # PYTORCH_HMM_TPU_NO_PALLAS contract).
     monkeypatch.setattr(ctc_mod, "_use_ctc_kernels", lambda s, b: True)
-    jax.clear_caches()
     ali_k, score_k = ctc_viterbi_alignment(
         log_probs, targets, in_lens, tgt_lens
     )
-    jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(ali_k), np.asarray(ali_xla))
     np.testing.assert_allclose(np.asarray(score_k),
                                np.asarray(score_xla), atol=1e-4)
