@@ -324,3 +324,23 @@ def test_pallas_backward_prob_matches_core():
     for rs in (4, 8):
         b_p = pallas_backward_prob(lo, la, rs=rs)
         np.testing.assert_allclose(b_p, ref, atol=2e-3)
+
+
+@pytest.mark.parametrize("B,T,K", [(9, 129, 100), (2, 300, 128),
+                                   (5, 257, 64), (1, 128, 16)])
+def test_prob_kernels_edge_shapes(B, T, K):
+    """Odd batch/time/state sizes exercise tile padding, chunk tails,
+    and the exact-lane-width edge on both prob-space kernels."""
+    from pytorch_hmm_tpu.ops import pallas_backward_prob, pallas_forward_prob
+
+    rng = np.random.default_rng(B + T + K)
+    lo = jnp.asarray(rng.normal(size=(B, T, K)) * 2.0, jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+    a0, lz0 = core.forward_log(lo, la, lp)
+    a_p, lz_p = pallas_forward_prob(lo, la, lp)
+    np.testing.assert_allclose(a_p, a0, atol=3e-3)
+    np.testing.assert_allclose(lz_p, lz0, atol=3e-3)
+    b0 = core.backward_log(lo, la)
+    b_p = pallas_backward_prob(lo, la)
+    np.testing.assert_allclose(b_p, b0, atol=3e-3)
