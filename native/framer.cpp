@@ -103,7 +103,8 @@ struct Framer {
   std::vector<float> mel_weights;     // (n_mels, n_fft/2+1) row-major
   std::vector<int> mel_lo;            // first nonzero bin per mel band
   std::vector<int> mel_hi;            // one past the last nonzero bin
-  std::vector<Complex> fft_buf;
+  std::vector<Complex> fft_buf;       // n_fft/2 packed complex samples
+  std::vector<Complex> untangle_tw;   // e^{-2pi i k / n_fft}, k<=n_fft/4
   std::vector<float> power_buf;       // n_fft/2+1, per-frame scratch
   FftPlan fft_plan;
 
@@ -117,9 +118,14 @@ struct Framer {
         preemph(pre),
         ring(capacity),
         window(flen),
-        fft_buf(nfft),
+        fft_buf(nfft / 2),
+        untangle_tw(nfft / 4 + 1),
         power_buf(static_cast<size_t>(nfft) / 2 + 1),
-        fft_plan(static_cast<size_t>(nfft)) {
+        fft_plan(static_cast<size_t>(nfft) / 2) {
+    for (int k = 0; k <= n_fft / 4; ++k) {
+      const float ang = -2.0f * kPi * k / n_fft;
+      untangle_tw[k] = {std::cos(ang), std::sin(ang)};
+    }
     for (int i = 0; i < flen; ++i) {
       window[i] =
           0.5f - 0.5f * std::cos(2.0f * kPi * i / (flen - 1));
@@ -196,14 +202,19 @@ struct Framer {
     if (static_cast<size_t>(h - t) < static_cast<size_t>(frame_len)) {
       return false;
     }
-    // Gather frame_len samples (non-destructive beyond hop).
-    for (int i = 0; i < n_fft; ++i) fft_buf[i] = {0.0f, 0.0f};
+    // Gather frame_len samples (non-destructive beyond hop), packing
+    // even samples into re and odd into im: a real n_fft-point
+    // transform becomes ONE n_fft/2-point complex FFT plus an
+    // untangling pass (halves the butterfly work).
+    const int half = n_fft / 2;
+    for (int i = 0; i < half; ++i) fft_buf[i] = {0.0f, 0.0f};
     float prev = prev_sample;
     for (int i = 0; i < frame_len; ++i) {
       const float s = ring[static_cast<size_t>((t + i) % capacity())];
-      const float e = s - preemph * prev;
+      const float e = (s - preemph * prev) * window[i];
       prev = s;
-      fft_buf[i] = {e * window[i], 0.0f};
+      if (i & 1) fft_buf[i >> 1].im = e;
+      else       fft_buf[i >> 1].re = e;
     }
     // Pre-emphasis carry advances by `hop` samples.
     prev_sample =
@@ -211,10 +222,38 @@ struct Framer {
                  : prev_sample;
     fft(fft_buf, fft_plan);
     const int n_bins = n_fft / 2 + 1;
-    // Power spectrum once (it was recomputed per mel band before).
-    for (int b = 0; b < n_bins; ++b) {
-      power_buf[b] = fft_buf[b].re * fft_buf[b].re +
-                     fft_buf[b].im * fft_buf[b].im;
+    // Untangle Z[k] = FFT(even + i*odd) into the real spectrum's power:
+    // E[k] = (Z[k] + conj(Z[-k]))/2, O[k] = (Z[k] - conj(Z[-k]))/(2i),
+    // X[k] = E[k] + w^k O[k], power_buf[k] = |X[k]|^2. Symmetry gives
+    // X[half - k] from the same pair, so one sweep fills all bins.
+    {
+      const Complex z0 = fft_buf[0];
+      const float x0 = z0.re + z0.im;      // X[0] (real)
+      const float xh = z0.re - z0.im;      // X[half] would be E0-O0 ...
+      power_buf[0] = x0 * x0;
+      // X at Nyquist of the FULL transform (bin half = n_fft/2):
+      power_buf[half] = xh * xh;
+      for (int k = 1; k <= half / 2; ++k) {
+        const Complex a = fft_buf[k];
+        const Complex b = fft_buf[half - k];  // Z[-k] index
+        const float er = 0.5f * (a.re + b.re);
+        const float ei = 0.5f * (a.im - b.im);
+        const float orr = 0.5f * (a.im + b.im);   // O[k].re
+        const float oi = -0.5f * (a.re - b.re);   // O[k].im
+        const Complex w = untangle_tw[k];
+        const float wr = w.re * orr - w.im * oi;
+        const float wi = w.re * oi + w.im * orr;
+        const float xr = er + wr, xi = ei + wi;
+        power_buf[k] = xr * xr + xi * xi;
+        // X[half - k] = conj(E[k]) + w^{half-k} O'[...]: use the real-
+        // input symmetry X[n_fft - m] = conj(X[m]) on the m = half + k
+        // bin via E,O of index half-k: equivalently
+        // X[half - k] = E'[k] - i-twiddle pair:
+        if (k != half - k) {
+          const float xr2 = er - wr, xi2 = -ei + wi;
+          power_buf[half - k] = xr2 * xr2 + xi2 * xi2;
+        }
+      }
     }
     for (int m = 0; m < n_mels; ++m) {
       float acc = 1e-10f;
