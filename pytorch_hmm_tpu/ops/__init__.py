@@ -93,6 +93,29 @@ def pallas_available(num_states: int) -> bool:
 _PROB_FWD_MIN_T = 1024
 
 
+def _prob_kernel_safe(log_a) -> bool:
+    """Envelope check for the prob-space kernels.
+
+    Their scaled carry q rescales once per rs block; a sustained
+    per-frame shrink beyond ~e^-87/rs within one block (possible only
+    when hard-zero transitions force all reachable states onto
+    strongly mismatched emissions) underflows q to exact zeros, and the
+    max(q, 1e-37) rescale floor then leaves alpha silently wrong for
+    the rest of the sequence. Finite transition rows cannot sustain
+    that shrink (the per-frame max-shift bounds e_t at 1 and every
+    state stays reachable), so the check is: when log_a is a concrete
+    array containing -inf entries, fall back to the log-space kernel,
+    which has no such envelope. Traced log_a (inside a caller's jit)
+    cannot be inspected without changing trace semantics — those calls
+    keep the prob kernel and inherit the documented envelope (finite
+    transition rows are safe; hard-zero transitions combined with
+    emissions mismatched by more than ~e^-87 per rs block are not).
+    """
+    if isinstance(log_a, jax.core.Tracer):
+        return True
+    return bool(jnp.isfinite(log_a).all())
+
+
 def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None,
                   posterior_grade=False):
     """HMM forward ``(log_alpha, log_z)`` on the fastest Pallas path.
@@ -100,7 +123,7 @@ def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None,
     A plain HMM is an HSMM with the duration pmf fixed at 1 frame, so
     for K ≤ 32 this runs the transposed-layout sum kernel (states on
     sublanes — measured ~4× the lane-layout kernel at K=12, B=16,
-    T=1000). Long sequences (T ≥ 4096, unragged, K ≤ 128) run the
+    T=1000). Long sequences (T ≥ 1024, unragged, K ≤ 128) run the
     minimal-latency prob-space kernel (``pallas_forward_prob``,
     measured 1.25-1.4× at T=131072), with multiply precision from the
     mixed-precision policy unless ``posterior_grade`` forces true f32.
@@ -110,7 +133,10 @@ def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None,
     if lengths is None and hsmm_smallk_supported(K, 1, B):
         ld1 = jnp.zeros((K, 1), jnp.float32)
         return hsmm_smallk_forward(log_obs, log_a, log_pi, ld1)
-    if lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES:
+    if (
+        lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES
+        and _prob_kernel_safe(log_a)
+    ):
         from ..precision import mixed_precision_enabled
 
         prec = (
@@ -131,7 +157,10 @@ def _hmm_bwd_fast(log_obs, log_a, lengths=None, posterior_grade=False):
     if lengths is None and hsmm_smallk_supported(K, 1, B):
         ld1 = jnp.zeros((K, 1), jnp.float32)
         return hsmm_smallk_backward(log_obs, log_a, ld1)[0]
-    if lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES:
+    if (
+        lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES
+        and _prob_kernel_safe(log_a)
+    ):
         from ..precision import mixed_precision_enabled
 
         prec = (
@@ -230,9 +259,18 @@ _pallas_ll_masked.defvjp(_llm_fwd, _llm_bwd)
 
 def auto_forward(log_obs, log_a, log_pi, lengths: Optional[jax.Array] = None):
     """``(log_alpha, log_z)`` via Pallas on TPU (static K), XLA scan
-    elsewhere."""
+    elsewhere.
+
+    Always runs posterior-grade (``Precision.HIGHEST`` dots in the
+    long-sequence prob-space kernel): log-alpha is the deliverable here
+    and callers derive posteriors/statistics from it, so the
+    mixed-precision policy never degrades it. Likelihood-only paths
+    (``pallas_log_likelihood``'s primal) keep the faster DEFAULT dots.
+    """
     if pallas_available(log_obs.shape[-1]) and log_a.ndim == 2:
-        return _hmm_fwd_fast(log_obs, log_a, log_pi, lengths)
+        return _hmm_fwd_fast(
+            log_obs, log_a, log_pi, lengths, posterior_grade=True
+        )
     return core.forward_log(log_obs, log_a, log_pi, lengths)
 
 

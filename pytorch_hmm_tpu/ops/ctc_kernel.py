@@ -132,7 +132,9 @@ def _ctc_fwd_kernel(
         def frames(c, slot, a, first: bool, n_frames: int):
             def step(tf, a):
                 if first and isinstance(tf, int) and tf == 0:
-                    a = a0_ref[:, :]
+                    # t < tt freeze at frame 0 (zero-length rows keep
+                    # the _NEG init), matching interpret mode.
+                    a = jnp.where(0 < tt, a0_ref[:, :], a)
                     al_buf[slot, pl.ds(0, 1)] = a[None]
                     return a
                 lp_t = lp_buf[slot, tf]
@@ -377,7 +379,10 @@ def _ctc_fwd_wide_kernel(
         def frames(c, slot, a, first: bool, n_frames: int):
             def step(tf, a):
                 if first and isinstance(tf, int) and tf == 0:
-                    a = a0_ref[0]
+                    # Same t < tt freeze as the traced branch below, so
+                    # zero-length rows keep the _NEG init on hardware
+                    # exactly as they do in interpret mode.
+                    a = jnp.where(0 < tt, a0_ref[0], a)
                     al_buf[slot, pl.ds(0, 1)] = a[None]
                     return a
                 lp_t = lp_buf[slot, tf]
