@@ -43,24 +43,30 @@ def device_time(
     fn: Callable[..., Any],
     *args,
     reps: int = 20,
+    target_chain_sec: float = 0.05,
+    max_reps: int = 4096,
 ) -> float:
     """Pure device time per call, in seconds (round-trip cancelled).
 
     ``fn(*args)`` must return an array (or pytree); a scalar summary of
     the first leaf is threaded through chained calls so the device
-    cannot elide or overlap them. Chains of length ``reps`` and
-    ``2*reps`` are each fetched once; their difference removes the
-    fixed host↔device round-trip.
+    cannot elide or overlap them. Chains of length ``R`` and ``2R`` are
+    each timed as the min of three fetches (tunnel noise is strictly
+    additive — RTT min 25.3 / max 39 ms measured on this link — so the
+    minimum is the low-noise statistic); their difference removes the
+    fixed host↔device round-trip. ``R`` is auto-scaled so the R-chain's
+    device time alone is >= ``target_chain_sec``: the RTT is measured
+    with a zero-iteration chain of the SAME program, and ``reps`` grows
+    until the chain clears the jitter floor. Short chains on a noisy
+    link are how r3 got impossible 0.0 ms readings.
     """
 
     def summarize(out):
         leaf = jax.tree.leaves(out)[0]
         return jnp.sum(leaf).astype(jnp.float32)
 
-    from functools import partial as _partial
-
-    @_partial(jax.jit, static_argnames=("n",))
-    def chain(*args, n):
+    @jax.jit
+    def chain(n, *args):
         def body(i, acc):
             shifted = tuple(
                 a + jnp.zeros((), a.dtype) * acc.astype(a.dtype)
@@ -70,14 +76,19 @@ def device_time(
             return acc + summarize(fn(*shifted))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    def timed(n):
-        np.asarray(chain(*args, n=n))  # compile + warm
+    def timed(n, samples=3):
+        n = jnp.int32(n)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(samples):
             t0 = time.perf_counter()
-            np.asarray(chain(*args, n=n))
+            np.asarray(chain(n, *args))
             best = min(best, time.perf_counter() - t0)
         return best
+
+    np.asarray(chain(jnp.int32(reps), *args))  # compile once (n runtime)
+    rtt = timed(0)
+    per_rep = max((timed(reps) - rtt) / reps, 1e-9)
+    reps = min(max(reps, int(np.ceil(target_chain_sec / per_rep))), max_reps)
 
     t1 = timed(reps)
     t2 = timed(2 * reps)
