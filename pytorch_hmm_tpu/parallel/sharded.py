@@ -82,15 +82,28 @@ def _log_eye(k: int, dtype) -> jax.Array:
 # Forward
 # ---------------------------------------------------------------------------
 
+def _la_at(log_a, t_local):
+    """Transition matrix governing the step into local frame ``t_local``:
+    broadcastable ``(K, K)`` when static, the local time slice of a
+    time-sharded ``(B, Tl, K, K)`` tensor when time-varying (the NeuralHMM
+    regime, reference ``neural.py:403-431``)."""
+    if log_a.ndim == 4:
+        return log_a[:, t_local]  # (B, K, K)
+    return log_a[None]  # (1, K, K), broadcasts over batch
+
+
 def _forward_block(log_obs, log_a, log_pi, axis_name, vary=(), lengths=None):
     """Per-shard body: exact local log_alpha (B, Tl, K) + log_z (B,).
 
     ``log_obs`` is the local time block; frame indices are globalized via
-    the shard's position on the time axis. With ``lengths`` (B,), frames
-    at/past each row's length contribute the semiring *identity* to the
-    block operator — alpha freezes at the final valid frame, so the
-    log_z read at the global last frame is exactly the ragged
-    likelihood and padded-frame alphas repeat the final valid alpha.
+    the shard's position on the time axis. ``log_a`` is ``(K, K)`` static
+    or the LOCAL block ``(B, Tl, K, K)`` of time-varying transitions
+    (``[:, t]`` governs the step into frame t, the core.fb convention).
+    With ``lengths`` (B,), frames at/past each row's length contribute
+    the semiring *identity* to the block operator — alpha freezes at the
+    final valid frame, so the log_z read at the global last frame is
+    exactly the ragged likelihood and padded-frame alphas repeat the
+    final valid alpha.
     """
     B, Tl, K = log_obs.shape
     idx, p = _axis_info(axis_name)
@@ -108,7 +121,7 @@ def _forward_block(log_obs, log_a, log_pi, axis_name, vary=(), lengths=None):
     # every i, making the entry vector a plain row slice.
     def op(t_local):
         lo_t = log_obs[:, t_local]  # (B, K)
-        m = log_a[None] + lo_t[:, None, :]  # (B, K, K)
+        m = _la_at(log_a, t_local) + lo_t[:, None, :]  # (B, K, K)
         a0 = jnp.broadcast_to((log_pi + lo_t)[:, None, :], (B, K, K))
         m = jnp.where(t0 + t_local == 0, a0, m)
         pad = pad_mask(t_local)
@@ -138,7 +151,8 @@ def _forward_block(log_obs, log_a, log_pi, axis_name, vary=(), lengths=None):
     # Pass 3: exact local rescan.
     def step(carry, t_local):
         lo_t = log_obs[:, t_local]
-        from_prev = lo_t + log_matvec(carry, log_a)
+        la_t = log_a[:, t_local] if log_a.ndim == 4 else log_a
+        from_prev = lo_t + log_matvec(carry, la_t)
         first = log_pi + lo_t
         alpha_t = jnp.where(t0 + t_local == 0, first, from_prev)
         if lengths is not None:
@@ -172,6 +186,13 @@ def _backward_block(log_obs, log_a, axis_name, vary=(), lengths=None):
     needs its own observations: ``v_t = Ã_t ⊗ v_{t+1}`` with
     ``Ã_t[i, j] = log_obs_t[i] + log_a[i, j]`` and ``v_{T-1} = log_obs_{T-1}``.
 
+    Time-varying transitions: the recursion at frame t applies the
+    transition INTO frame t+1, so ``log_a`` here must be the local block
+    of the pre-SHIFTED tensor (``la_next[:, t] = global A_{t+1}``) —
+    built once outside the shard_map (one boundary-halo collective under
+    XLA's sharding propagation) so frame ``Tl-1`` never reaches into the
+    neighbouring shard from inside the kernel.
+
     With ``lengths`` (B,), each row's boundary condition ``beta = 0``
     moves to its final valid frame (which gets the rank-1 operator);
     later frames are semiring identities and emit ``beta = 0``.
@@ -185,7 +206,7 @@ def _backward_block(log_obs, log_a, axis_name, vary=(), lengths=None):
 
     def op(t_local):
         lo_t = log_obs[:, t_local]
-        m = lo_t[:, :, None] + log_a[None]  # (B, K, K)
+        m = lo_t[:, :, None] + _la_at(log_a, t_local)  # (B, K, K)
         # Final valid frame: rank-1 with columns v = log_obs at it.
         last = jnp.broadcast_to(lo_t[:, :, None], (B, K, K))
         t_g = t0 + t_local
@@ -217,6 +238,7 @@ def _backward_block(log_obs, log_a, axis_name, vary=(), lengths=None):
 
     def step(carry, t_local):
         lo_t = log_obs[:, t_local]
+        la_t = log_a[:, t_local] if log_a.ndim == 4 else log_a
         at_end = (
             t0 + t_local == T - 1 if lengths is None
             else (t0 + t_local >= t_fin)[:, None]
@@ -224,7 +246,7 @@ def _backward_block(log_obs, log_a, axis_name, vary=(), lengths=None):
         beta_t = jnp.where(
             at_end,
             jnp.zeros((B, K), log_obs.dtype),
-            log_matvec_t(log_a, carry),
+            log_matvec_t(la_t, carry),
         )
         return lo_t + beta_t, beta_t
 
@@ -259,7 +281,7 @@ def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=(), lengths=None):
 
     def op(t_local):
         lo_t = log_obs[:, t_local]
-        m = log_a[None] + lo_t[:, None, :]
+        m = _la_at(log_a, t_local) + lo_t[:, None, :]
         d0 = jnp.broadcast_to((log_pi + lo_t)[:, None, :], (B, K, K))
         m = jnp.where(t0 + t_local == 0, d0, m)
         if lengths is None:
@@ -288,7 +310,7 @@ def _viterbi_block(log_obs, log_a, log_pi, axis_name, vary=(), lengths=None):
     # points into the previous block's last frame (valid: entry is exact).
     def step(carry, t_local):
         lo_t = log_obs[:, t_local]
-        scores = carry[:, :, None] + log_a[None]  # (B, K, K)
+        scores = carry[:, :, None] + _la_at(log_a, t_local)  # (B, K, K)
         best = jnp.max(scores, axis=-2) + lo_t
         psi = jnp.argmax(scores, axis=-2).astype(jnp.int32)
         first = log_pi + lo_t
@@ -367,6 +389,27 @@ def _specs(mesh: Mesh):
     return obs_spec, P(d, TIME_AXIS), P(d)
 
 
+def _la_spec(mesh: Mesh, log_a: jax.Array):
+    """Sharding spec for static ``(K, K)`` vs time-varying
+    ``(B, T, K, K)`` transitions (batch over data, time over time)."""
+    if log_a.ndim == 4:
+        d = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+        return P(d, TIME_AXIS, None, None)
+    return P(None, None)
+
+
+def _la_shifted(log_a: jax.Array) -> jax.Array:
+    """``la_next[:, t] = log_a[:, t+1]`` for the backward recursion
+    (frame t applies the transition INTO frame t+1). Built OUTSIDE the
+    shard_map so the one-frame halo ride-along is XLA's problem (a
+    collective-permute under time sharding), not the kernel's. The final
+    slice is a don't-care (the last valid frame gets the rank-1
+    boundary operator; later frames are identities)."""
+    if log_a.ndim != 4:
+        return log_a
+    return jnp.concatenate([log_a[:, 1:], log_a[:, -1:]], axis=1)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def sharded_forward_backward(
     log_obs: jax.Array,
@@ -377,17 +420,21 @@ def sharded_forward_backward(
 ):
     """Exact forward-backward with batch sharded over ``data`` and time
     sharded over ``time``. Returns ``(log_gamma, log_alpha, log_beta,
-    log_z)`` like ``core.forward_backward``. With ``lengths`` (B,),
-    ragged rows are handled exactly inside the kernel (identity-operator
-    padding) — in-range entries match per-sequence unpadded results.
+    log_z)`` like ``core.forward_backward``. ``log_a`` is ``(K, K)``
+    static or ``(B, T, K, K)`` time-varying (the NeuralHMM regime —
+    ``[:, t]`` governs the step into frame t), sharded like the
+    observations. With ``lengths`` (B,), ragged rows are handled exactly
+    inside the kernel (identity-operator padding) — in-range entries
+    match per-sequence unpadded results.
     """
     obs_spec, _, b_spec = _specs(mesh)
+    la_spec = _la_spec(mesh, log_a)
 
-    def body(lo, la, lp, lens):
+    def body(lo, la, la_nx, lp, lens):
         axis = TIME_AXIS
         vary = mesh.axis_names
         log_alpha, log_z = _forward_block(lo, la, lp, axis, vary, lens)
-        log_beta = _backward_block(lo, la, axis, vary, lens)
+        log_beta = _backward_block(lo, la_nx, axis, vary, lens)
         lg = log_alpha + log_beta
         log_gamma = lg - logsumexp(lg, axis=-1, keepdims=True)
         return log_gamma, log_alpha, log_beta, log_z
@@ -396,9 +443,9 @@ def sharded_forward_backward(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(obs_spec, P(None, None), P(None), b_spec),
+        in_specs=(obs_spec, la_spec, la_spec, P(None), b_spec),
         out_specs=(obs_spec, obs_spec, obs_spec, b_spec),
-    )(log_obs, log_a, log_pi, lengths)
+    )(log_obs, log_a, _la_shifted(log_a), log_pi, lengths)
 
 
 @partial(jax.jit, static_argnames=("mesh",))
@@ -410,8 +457,9 @@ def sharded_log_likelihood(
     lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Sequence log-likelihood ``(B,)`` on a sharded mesh (differentiable —
-    use inside sharded training losses). ``lengths`` (B,) scores ragged
-    rows exactly."""
+    use inside sharded training losses). ``log_a`` static ``(K, K)`` or
+    time-varying ``(B, T, K, K)``; ``lengths`` (B,) scores ragged rows
+    exactly."""
     obs_spec, _, b_spec = _specs(mesh)
 
     def body(lo, la, lp, lens):
@@ -424,7 +472,7 @@ def sharded_log_likelihood(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(obs_spec, P(None, None), P(None), b_spec),
+        in_specs=(obs_spec, _la_spec(mesh, log_a), P(None), b_spec),
         out_specs=b_spec,
     )(log_obs, log_a, log_pi, lengths)
 
@@ -438,8 +486,9 @@ def sharded_viterbi(
     lengths: jax.Array | None = None,
 ):
     """Exact Viterbi path ``(B, T)`` + score ``(B,)`` on a sharded mesh.
-    With ``lengths`` (B,), padded frames repeat each row's final valid
-    state (``core.viterbi`` convention)."""
+    ``log_a`` static ``(K, K)`` or time-varying ``(B, T, K, K)``. With
+    ``lengths`` (B,), padded frames repeat each row's final valid state
+    (``core.viterbi`` convention)."""
     obs_spec, t_spec, b_spec = _specs(mesh)
 
     def body(lo, la, lp, lens):
@@ -451,7 +500,7 @@ def sharded_viterbi(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(obs_spec, P(None, None), P(None), b_spec),
+        in_specs=(obs_spec, _la_spec(mesh, log_a), P(None), b_spec),
         out_specs=(t_spec, b_spec),
     )(log_obs, log_a, log_pi, lengths)
 

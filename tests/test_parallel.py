@@ -319,3 +319,79 @@ def test_sharded_likelihood_ragged_gradient(ragged_sharded_problem):
         # Padded frames never influence the likelihood.
         if n < lo.shape[1]:
             assert np.abs(g[b, n:]).max() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Time-varying transitions on the time-block-sharded layer (VERDICT r3
+# item 5) — the NeuralHMM regime (reference neural.py:403-511): per-frame
+# (B, T, K, K) log transitions, sharded like the observations.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tv_problem():
+    rng = np.random.default_rng(11)
+    B, T, K = 4, 64, 6
+    log_obs = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    la = jnp.asarray(
+        rng.dirichlet(np.ones(K), size=(B, T, K)), jnp.float32
+    )
+    log_a = jnp.log(la)  # (B, T, K, K), rows normalized per frame
+    log_pi = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K)), jnp.float32))
+    return log_obs, log_a, log_pi
+
+
+@pytest.mark.parametrize("data,time", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_fb_time_varying(tv_problem, data, time):
+    log_obs, log_a, log_pi = tv_problem
+    mesh = make_mesh(data=data, time=time)
+    lg, la_, lb, lz = sharded_forward_backward(log_obs, log_a, log_pi, mesh)
+    lg0, la0, lb0, lz0 = core.forward_backward(log_obs, log_a, log_pi)
+    np.testing.assert_allclose(la_, la0, atol=1e-4)
+    np.testing.assert_allclose(lb, lb0, atol=1e-4)
+    np.testing.assert_allclose(lg, lg0, atol=1e-4)
+    np.testing.assert_allclose(lz, lz0, atol=1e-4)
+
+
+@pytest.mark.parametrize("data,time", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_viterbi_time_varying(tv_problem, data, time):
+    log_obs, log_a, log_pi = tv_problem
+    mesh = make_mesh(data=data, time=time)
+    s, sc = sharded_viterbi(log_obs, log_a, log_pi, mesh)
+    s0, sc0 = core.viterbi(log_obs, log_a, log_pi)
+    assert bool(jnp.all(s == s0)), "sharded time-varying Viterbi differs"
+    np.testing.assert_allclose(sc, sc0, atol=1e-4)
+
+
+def test_sharded_likelihood_time_varying_gradient(tv_problem):
+    log_obs, log_a, log_pi = tv_problem
+    mesh = make_mesh(data=2, time=4)
+    g, ga = jax.grad(
+        lambda lo, la: jnp.sum(sharded_log_likelihood(lo, la, log_pi, mesh)),
+        argnums=(0, 1),
+    )(log_obs, log_a)
+    g0, ga0 = jax.grad(
+        lambda lo, la: jnp.sum(core.log_likelihood(lo, la, log_pi)),
+        argnums=(0, 1),
+    )(log_obs, log_a)
+    np.testing.assert_allclose(g, g0, atol=1e-4)
+    np.testing.assert_allclose(ga, ga0, atol=1e-4)
+
+
+def test_sharded_fb_time_varying_ragged(tv_problem):
+    log_obs, log_a, log_pi = tv_problem
+    lengths = jnp.asarray([64, 23, 41, 8], jnp.int32)
+    mesh = make_mesh(data=2, time=4)
+    lg, la_, lb, lz = sharded_forward_backward(
+        log_obs, log_a, log_pi, mesh, lengths
+    )
+    for b, n in enumerate(np.asarray(lengths)):
+        _, la0, lb0, lz0 = core.forward_backward(
+            log_obs[b:b + 1, :n], log_a[b:b + 1, :n], log_pi
+        )
+        np.testing.assert_allclose(lz[b], lz0[0], atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(la_)[b, :n], np.asarray(la0)[0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lb)[b, :n], np.asarray(lb0)[0], atol=1e-4
+        )
