@@ -37,6 +37,9 @@ __all__ = [
     "diag_gaussian_log_probs",
     "spherical_gaussian_log_probs",
     "full_gaussian_log_probs",
+    "fullcov_prepare",
+    "full_gaussian_log_probs_prepared",
+    "fullcov_mixture_log_probs_prepared",
     "gaussian_log_probs",
     "gmm_log_probs",
     "gmm_component_log_probs",
@@ -99,24 +102,148 @@ def spherical_gaussian_log_probs(
     return log_norm - 0.5 * mahal
 
 
+def fullcov_prepare(means: jax.Array, chol: jax.Array) -> dict:
+    """Observation-independent tables for full-covariance scoring.
+
+    ~0.07 ms of small-matrix work (Cholesky inverse + precision
+    assembly) at the flagship (48, 80, 80) shape — worth hoisting out of
+    the per-call decode path when parameters are static (serving); see
+    ``MixtureGaussianHMMLayer.make_decoder``.
+
+    The Mahalanobis term is the expanded precision form
+    ``xᵀPx − 2x·(Pμ̃) + μ̃ᵀPμ̃`` over centered coordinates. (An augmented
+    ``[x, 1] P̃ [x; 1]`` single-einsum packing was tried and measured 6×
+    SLOWER on v5e — the odd D+1 contraction breaks XLA's fusion of the
+    three-operand quadratic; the xq matvec is nearly free next to it.)
+    Centering on the mean of the means keeps the expansion
+    O(Mahalanobis distance) for un-centered features — shifting x and μ
+    by the same constant is exact.
+
+    Returns ``{"prec": (K, D, D), "pm": (K, D), "mm": (K,),
+    "center": (D,), "log_norm": (K,)}``.
+    """
+    D = means.shape[-1]
+    inv_chol = tril_inverse(chol)  # (K, D, D): L^{-1}
+    logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    log_norm = -0.5 * D * _LOG_2PI - logdet  # (K,)
+    center = jnp.mean(means, axis=0)
+    mu_c = means - center
+    wm = jnp.einsum("ked,kd->ke", inv_chol, mu_c)          # L⁻¹ μ̃, (K, D)
+    prec = jnp.einsum("ked,kef->kdf", inv_chol, inv_chol)  # Σ⁻¹, (K, D, D)
+    pm = jnp.einsum("kde,ke->kd", prec, mu_c)              # Σ⁻¹ μ̃
+    mm = jnp.sum(wm * wm, axis=-1)                         # μ̃ᵀ Σ⁻¹ μ̃, (K,)
+    return {
+        "prec": prec, "pm": pm, "mm": mm,
+        "center": center, "log_norm": log_norm,
+    }
+
+
+def full_gaussian_log_probs_prepared(
+    obs: jax.Array,
+    prep: dict,
+    time_chunk: int = 128,
+    compute_dtype=None,
+) -> jax.Array:
+    """Full-covariance scores from :func:`fullcov_prepare` tables.
+
+    The per-call cost is the three-operand ``xPx`` einsum plus a thin
+    matvec and the centering subtract — ~0.15 ms at (32, 1000, 48, 80)
+    on v5e. ``time_chunk`` matters: XLA's contraction strategy for the
+    quadratic degrades sharply above ~256 rows of τ (measured 0.18 ms at
+    τ=128 vs 0.82 ms single-chunk at this shape) — the default is the
+    measured optimum.
+    """
+    return _fullcov_scored_prepared(
+        obs, prep, time_chunk, compute_dtype, mixture=None
+    )
+
+
+def fullcov_mixture_log_probs_prepared(
+    obs: jax.Array,
+    prep: dict,
+    num_states: int,
+    num_components: int,
+    time_chunk: int = 128,
+    compute_dtype=None,
+) -> jax.Array:
+    """Mixture-marginalized state scores ``(B, T, S)`` straight from
+    :func:`fullcov_prepare` tables with the log mixture weights already
+    folded into ``prep["log_norm"]``. The logsumexp over components runs
+    INSIDE each time chunk, so the ``(B, T, S·C)`` component tensor
+    never round-trips HBM — the serving decode path
+    (``MixtureGaussianHMMLayer.make_decoder``)."""
+    return _fullcov_scored_prepared(
+        obs, prep, time_chunk, compute_dtype,
+        mixture=(num_states, num_components),
+    )
+
+
+def _fullcov_scored_prepared(obs, prep, time_chunk, compute_dtype, mixture):
+    B, T, D = obs.shape
+    log_norm = prep["log_norm"]
+    prec, pm, mm = prep["prec"], prep["pm"], prep["mm"]
+    center = prep["center"]
+
+    def score_chunk(x):
+        x = x - center  # per-chunk: fuses into the einsum producer
+        xpx = mxu_einsum(
+            "btd,kde,bte->btk", x, prec, x, dtype=compute_dtype
+        )
+        xq = mxu_einsum("btd,kd->btk", x, pm, dtype=compute_dtype)
+        # A true Mahalanobis distance is non-negative; clamp so rounding
+        # in the expansion can never push log-probs above log_norm.
+        mahal = jnp.maximum(xpx - 2.0 * xq + mm, 0.0)
+        out = log_norm[None, None] - 0.5 * mahal
+        if mixture is not None:
+            S, C = mixture
+            out = logsumexp(out.reshape(*out.shape[:-1], S, C), axis=-1)
+        return out
+
+    if T <= time_chunk:
+        return score_chunk(obs)
+
+    # Prefer a chunk size that DIVIDES T: padding the time axis (and
+    # pre-subtracting the center) each materialize a full (B, T, D)
+    # copy through HBM — ~0.05 ms at the flagship shape, a third of the
+    # whole emission budget. A divisor chunk slices the raw input in
+    # place (T=1000 → τ=125 instead of 128 + 24 padded frames).
+    tc = max(
+        (d for d in range(time_chunk, time_chunk // 2, -1) if T % d == 0),
+        default=0,
+    )
+    if tc:
+        obs_p, Tp = obs, T
+    else:  # awkward T: fall back to padding
+        tc = time_chunk
+        Tp = T + ((-T) % tc)
+        obs_p = jnp.pad(obs, ((0, 0), (0, Tp - T), (0, 0)))
+
+    # Chunk via scan + dynamic slices: the reshape/swapaxes form of
+    # lax.map relayouts the whole (B, T, D) input and output through HBM
+    # (~0.04 ms at the flagship shape); slicing reads in place.
+    def body(_, i):
+        x = jax.lax.dynamic_slice_in_dim(obs_p, i * tc, tc, axis=1)
+        return 0, score_chunk(x)
+
+    _, out = jax.lax.scan(body, 0, jnp.arange(Tp // tc))  # (n, B, τ, K')
+    out = out.transpose(1, 0, 2, 3).reshape(B, Tp, -1)
+    return out[:, :T]
+
+
 def full_gaussian_log_probs(
     obs: jax.Array,
     means: jax.Array,
     chol: jax.Array,
-    time_chunk: int = 1024,
+    time_chunk: int = 128,
     compute_dtype=None,
 ) -> jax.Array:
     """Full-covariance Gaussian scores via precision matrices.
 
     A real full-covariance path — the reference's GaussianHMMLayer silently
     falls back to a diagonal approximation (``hmm_layer.py:311-319``); we
-    do not reproduce that bug.
-
-    The Mahalanobis term uses the expanded precision form
-    ``xᵀPx − 2x·(Pμ) + μᵀPμ`` with ``P = Σ⁻¹`` from the Cholesky factor:
-    XLA contracts the three-operand ``xPx`` einsum without ever
-    materializing the ``(B, τ, K, D)`` whitened tensor — measured 1.9×
-    the whiten-and-square form at the flagship shape on v5e.
+    do not reproduce that bug. Composition of :func:`fullcov_prepare`
+    (parameter-only tables) and :func:`full_gaussian_log_probs_prepared`
+    (one augmented quadratic-form einsum).
 
     Args:
         obs: ``(B, T, D)``; means ``(K, D)``; chol ``(K, D, D)`` lower
@@ -125,42 +252,10 @@ def full_gaussian_log_probs(
             picks for the quadratic-form contraction.
     Returns: ``(B, T, K)``.
     """
-    B, T, D = obs.shape
-    K = means.shape[0]
-    inv_chol = tril_inverse(chol)  # (K, D, D): L^{-1}
-    logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-    log_norm = -0.5 * D * _LOG_2PI - logdet  # (K,)
-    # Center on the mean of the means: the quadratic expansion cancels
-    # catastrophically when |x| is large relative to the Mahalanobis
-    # distance; shifting x and mu by the same constant is exact and
-    # keeps the expanded terms O(distance) for un-centered features.
-    center = jnp.mean(means, axis=0)
-    mu_c = means - center
-    wm = jnp.einsum("ked,kd->ke", inv_chol, mu_c)          # L⁻¹ μ̃, (K, D)
-    prec = jnp.einsum("ked,kef->kdf", inv_chol, inv_chol)  # Σ⁻¹, (K, D, D)
-    pm = jnp.einsum("kde,ke->kd", prec, mu_c)              # Σ⁻¹ μ̃
-    mm = jnp.sum(wm * wm, axis=-1)                         # μ̃ᵀ Σ⁻¹ μ̃, (K,)
-
-    pad = (-T) % time_chunk
-    obs_p = jnp.pad(obs - center, ((0, 0), (0, pad), (0, 0)))
-    n_chunks = obs_p.shape[1] // time_chunk
-
-    def score_chunk(x):
-        xpx = mxu_einsum(
-            "btd,kde,bte->btk", x, prec, x, dtype=compute_dtype
-        )
-        xq = mxu_einsum("btd,kd->btk", x, pm, dtype=compute_dtype)
-        # A true Mahalanobis distance is non-negative; clamp so rounding
-        # in the expansion can never push log-probs above log_norm.
-        mahal = jnp.maximum(xpx - 2.0 * xq + mm, 0.0)
-        return log_norm[None, None] - 0.5 * mahal
-
-    if n_chunks == 1:
-        return score_chunk(obs_p)[:, :T]
-    chunks = obs_p.reshape(B, n_chunks, time_chunk, D).swapaxes(0, 1)
-    out = jax.lax.map(score_chunk, chunks)  # (n_chunks, B, τ, K)
-    out = out.swapaxes(0, 1).reshape(B, n_chunks * time_chunk, K)
-    return out[:, :T]
+    prep = fullcov_prepare(means, chol)
+    return full_gaussian_log_probs_prepared(
+        obs, prep, time_chunk=time_chunk, compute_dtype=compute_dtype
+    )
 
 
 def gaussian_log_probs(

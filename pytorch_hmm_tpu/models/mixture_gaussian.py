@@ -35,7 +35,72 @@ from ..emissions import (flat_dim, gmm_component_log_probs,
 from ..precision import maybe_remat
 from .common import Buffer, TrainMode
 
-__all__ = ["MixtureGaussianHMMLayer"]
+__all__ = ["MixtureGaussianHMMLayer", "PreparedGMMDecoder"]
+
+
+class PreparedGMMDecoder:
+    """Parameter-frozen GMM-HMM Viterbi decoder (see ``make_decoder``).
+
+    Holds only derived arrays; ``__call__`` is one jitted program:
+    emission scoring (for full covariance, a single augmented
+    quadratic-form einsum over pre-inverted precision matrices) into the
+    shared TPU trellis (``auto_viterbi`` → Pallas ``smallk_viterbi`` at
+    speech shapes). Decodes match ``MixtureGaussianHMMLayer.__call__``
+    exactly — both routes share the same emission math and trellis.
+    """
+
+    def __init__(self, emission_kind, emission_tables, log_a, log_pi,
+                 num_states, num_components, covariance_type=None):
+        self.emission_kind = emission_kind
+        self.emission_tables = emission_tables
+        self.log_a = log_a
+        self.log_pi = log_pi
+        self.num_states = num_states
+        self.num_components = num_components
+        self.covariance_type = covariance_type
+
+    def log_obs(self, observations: jax.Array) -> jax.Array:
+        """State emission scores ``(B, T, S)`` from the frozen tables."""
+        if self.emission_kind == "full_prepared":
+            from ..emissions import fullcov_mixture_log_probs_prepared
+
+            # Mixture weights are pre-folded into log_norm; the lse over
+            # components runs inside each time chunk.
+            return fullcov_mixture_log_probs_prepared(
+                observations, self.emission_tables,
+                self.num_states, self.num_components,
+            )
+        t = self.emission_tables
+        return gmm_log_probs(
+            observations, t["means"], t["cov_params"], t["log_w"],
+            self.covariance_type,
+        )
+
+    def __call__(
+        self,
+        observations: jax.Array,
+        return_log_probs: bool = False,
+        lengths: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        from ..ops import auto_viterbi
+
+        states, score = auto_viterbi(
+            self.log_obs(observations), self.log_a, self.log_pi, lengths
+        )
+        return (states, score) if return_log_probs else (states, None)
+
+
+jax.tree_util.register_pytree_node(
+    PreparedGMMDecoder,
+    lambda d: (
+        (d.emission_tables, d.log_a, d.log_pi),
+        (d.emission_kind, d.num_states, d.num_components,
+         d.covariance_type),
+    ),
+    lambda aux, leaves: PreparedGMMDecoder(
+        aux[0], leaves[0], leaves[1], leaves[2], aux[1], aux[2], aux[3]
+    ),
+)
 
 
 def _l2r_fixed(num_states: int) -> jax.Array:
@@ -155,6 +220,54 @@ class MixtureGaussianHMMLayer(TrainMode):
         return (states, score) if return_log_probs else (states, None)
 
     forward = __call__
+
+    def make_decoder(self) -> "PreparedGMMDecoder":
+        """Freeze the current parameters into a serving decoder.
+
+        Decode-time emission scoring needs only parameter-DERIVED tables
+        (for full covariance: the augmented precision matrices from
+        ``emissions.fullcov_prepare`` — ~0.07 ms of Cholesky-inverse
+        work per call otherwise). This hoists that prologue out of the
+        per-call path, the standard weight-preprocessing step of a
+        serving engine. The returned decoder is a pure pytree-of-arrays
+        callable with ``__call__(observations, return_log_probs,
+        lengths)`` semantics identical to the layer's.
+
+        Parameters are captured BY VALUE: train further (``em_step`` /
+        optimizer updates), then call ``make_decoder()`` again for a
+        fresh snapshot.
+        """
+        log_w = jax.nn.log_softmax(self.mixture_weights_logits[...], axis=-1)
+        S, C, D = self.num_states, self.num_components, self.feature_dim
+        if self.covariance_type == "full":
+            from ..emissions import fullcov_prepare
+
+            chol = tril_from_flat(
+                self.cov_params[...].reshape(S * C, -1), D
+            )
+            prep = fullcov_prepare(self.means[...].reshape(S * C, D), chol)
+            # Fold the mixture weights into the per-component constant so
+            # decode is einsum + logsumexp only.
+            prep = dict(prep, log_norm=prep["log_norm"] + log_w.reshape(-1))
+            emission = ("full_prepared", prep)
+        else:
+            emission = (
+                "raw",
+                {
+                    "means": self.means[...],
+                    "cov_params": self.cov_params[...],
+                    "log_w": log_w,
+                },
+            )
+        return PreparedGMMDecoder(
+            emission_kind=emission[0],
+            emission_tables=emission[1],
+            log_a=self._log_a(),
+            log_pi=self._log_pi(),
+            num_states=S,
+            num_components=C,
+            covariance_type=self.covariance_type,
+        )
 
     def log_likelihood(
         self, observations: jax.Array, lengths: Optional[jax.Array] = None
