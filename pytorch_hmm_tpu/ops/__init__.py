@@ -113,7 +113,14 @@ def _prob_kernel_safe(log_a) -> bool:
     """
     if isinstance(log_a, jax.core.Tracer):
         return True
-    return bool(jnp.isfinite(log_a).all())
+    # log_a is concrete — inspect it with NumPy. A jnp.isfinite here
+    # would be STAGED into any caller's active trace (ops on concrete
+    # arrays inside jit are traced, not folded) and the bool() below
+    # would raise TracerBoolConversionError; np.asarray on a concrete
+    # array is a plain fetch and happens once per compilation.
+    import numpy as np
+
+    return bool(np.isfinite(np.asarray(log_a)).all())
 
 
 def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None,

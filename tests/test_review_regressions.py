@@ -189,3 +189,26 @@ def test_neural_sample_guard():
                                   rngs=nnx.Rngs(0))
     with pytest.raises(NotImplementedError, match="gaussian"):
         m.sample(jnp.zeros((1, 5), jnp.int32))
+
+
+def test_prob_kernel_safe_concrete_array_under_outer_trace():
+    """_prob_kernel_safe on a CONCRETE log_a must not stage ops into a
+    caller's active trace: a jnp.isfinite there becomes a tracer inside
+    any outer jit and bool() raises TracerBoolConversionError — this
+    broke every jit-wrapped auto_forward call on the T>=1024 TPU
+    dispatch path (r4 bench long-context row)."""
+    from pytorch_hmm_tpu.ops import _prob_kernel_safe
+
+    finite = jnp.zeros((4, 4))
+    hard_zero = jnp.zeros((4, 4)).at[0, 1].set(-jnp.inf)
+    seen = {}
+
+    @jax.jit
+    def f(x):
+        seen["finite"] = _prob_kernel_safe(finite)
+        seen["hard_zero"] = _prob_kernel_safe(hard_zero)
+        seen["traced"] = _prob_kernel_safe(x @ x)
+        return x
+
+    f(jnp.eye(4))
+    assert seen == {"finite": True, "hard_zero": False, "traced": True}
