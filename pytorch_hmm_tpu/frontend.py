@@ -122,9 +122,20 @@ def device_frames(
     frame_len, hop = tables["frame_len"], tables["hop"]
     F = chunk.shape[0] // hop
     ext = jnp.concatenate([tail, chunk])
-    y = ext[1:] - preemphasis * ext[:-1]
-    idx = jnp.arange(F)[:, None] * hop + jnp.arange(frame_len)[None, :]
-    frames = y[idx] * tables["window"]               # (F, frame_len)
+    y = ext[1:] - preemphasis * ext[:-1]             # ((F+lag)·hop,)
+    # Overlapped framing WITHOUT a gather: y[j·hop : j·hop+frame_len]
+    # for all j is q full hop-rows plus an r-sample head of the next
+    # row (frame_len = q·hop + r), so frames assemble from q+1
+    # CONTIGUOUS slices of the (F+lag, hop) reshape. The obvious
+    # (F, frame_len) advanced-index gather was measured at 0.42 ms per
+    # 160-frame chunk on v5e — 85% of the whole audio→states path;
+    # slices+concat lower to plain windowed copies (~µs).
+    rows = y.reshape(-1, hop)
+    q, r = divmod(frame_len, hop)
+    parts = [rows[i:F + i] for i in range(q)]
+    if r:
+        parts.append(rows[q:F + q, :r])
+    frames = jnp.concatenate(parts, axis=1) * tables["window"]
     # Real-input DFT as two MXU matmuls; HIGHEST so the spectrum matches
     # the f32 FFT reference (the tables are tiny; the cost is ~µs).
     re = jnp.dot(frames, tables["cos"],
