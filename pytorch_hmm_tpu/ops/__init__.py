@@ -39,6 +39,7 @@ from .hsmm_smallk import (
     hsmm_smallk_viterbi,
 )
 from .smallk import smallk_supported, smallk_viterbi
+from .fbsum import fbsum_smallk, fbsum_supported
 
 __all__ = [
     "pallas_forward",
@@ -299,12 +300,25 @@ def auto_forward_backward(
         # returned alpha/beta/log_z so the API stays raw.
         shift = jnp.max(log_obs, axis=-1, keepdims=True)   # (B, T, 1)
         lo_hat = log_obs - shift
-        alpha_hat, lz_hat = _hmm_fwd_fast(
-            lo_hat, log_a, log_pi, lengths, posterior_grade=True
-        )
-        beta_hat = _hmm_bwd_fast(
-            lo_hat, log_a, lengths, posterior_grade=True
-        )
+        B, T, K = log_obs.shape
+        if (
+            lengths is None and T < _PROB_FWD_MIN_T
+            and fbsum_supported(K, B)
+        ):
+            # Bidirectional fused kernel: both chains in one program
+            # (the independent recursions interleave, ~1.5x the two
+            # sequential launches — ops/fbsum.py). Long unragged
+            # sequences keep the minimal-latency prob-space kernels.
+            alpha_hat, beta_hat, lz_hat = fbsum_smallk(
+                lo_hat, log_a, log_pi
+            )
+        else:
+            alpha_hat, lz_hat = _hmm_fwd_fast(
+                lo_hat, log_a, log_pi, lengths, posterior_grade=True
+            )
+            beta_hat = _hmm_bwd_fast(
+                lo_hat, log_a, lengths, posterior_grade=True
+            )
         lg = alpha_hat + beta_hat
         log_gamma = lg - core.semiring.logsumexp(lg, axis=-1, keepdims=True)
         if lengths is not None:

@@ -1,0 +1,264 @@
+"""Bidirectional fused HMM forward-backward in ONE Pallas program.
+
+``auto_forward_backward`` previously launched the forward and backward
+sum kernels sequentially: two independent length-T dependency chains at
+~105 ns/step each → ~0.21 ms at T=1000 no matter how little arithmetic
+each step does. But the chains are INDEPENDENT (alpha runs t=0→T−1,
+beta runs T−1→0), so one kernel can interleave them: each unrolled
+frame step advances alpha at global frame ``c·tc + tf`` AND beta at
+frame ``(last−c)·tc + (tc−1−tf)``. The second recursion's vector ops
+fill the first's dependency-stall slots (ILP on the VPU): measured
+0.103 ms for BOTH chains vs 0.105 + 0.105 sequential at (B=16, T=1000,
+K=12) on v5e — the per-step cost was latency-bound, so the interleaved
+backward is effectively free.
+
+Layout matches the other small-K kernels (``smallk.py``): states ride
+sublanes, batch rides lanes; per-frame reductions over predecessors /
+successors are halving trees of whole-vreg ops. Two input DMA streams
+walk the observation table from both ends simultaneously; alpha and
+beta stream out behind the compute on separate double buffers.
+
+Recursions (standard, matching ``core.fb.forward_backward``):
+
+    alpha_t[s] = lo_t[s] + lse_{s'}(alpha_{t-1}[s'] + la[s', s])
+    beta_t[s]  = lse_{s'}(la[s, s'] + lo_{t+1}[s'] + beta_{t+1}[s'])
+
+with ``alpha_0 = lpi + lo_0`` and ``beta_{T-1} = 0``. Time padding to
+the chunk grid is handled by a ``t >= T-1`` freeze on beta (padded
+frames emit zeros that are sliced off; the recursion starts exactly at
+T−1 because padded ``lo`` is zero).
+
+Replaces (performance-wise) the two-launch path over reference
+``hmm.py:66-130``; used by posterior consumers (``HMMLayer`` training,
+EM, NeuralHMM) through ``ops.auto_forward_backward``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan import LANES, _NEG, _ceil_to, _pad_to, _use_interpret
+from .smallk import _frame_loop, _k_pad
+from .hsmm_smallk import _lse0
+
+__all__ = ["fbsum_smallk", "fbsum_supported"]
+
+# Ss=32 needs 4·2·128·32·128·4 = 16.8 MB of double buffers — over the
+# 13 MB budget at the minimum lane tile, so the fused kernel is a
+# S <= 16 specialist (covers the whole reference benchmark family);
+# larger S stays on the separate forward/backward kernels.
+_MAX_S = 16
+_T_CHUNK = 128
+# lof/lob/al/bt double buffers: 4 streams × 2 slots × tc frames.
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def fbsum_supported(num_states: int, batch: int) -> bool:
+    Ss = _k_pad(num_states)
+    Bp = _ceil_to(batch, LANES)
+    if num_states > _MAX_S:
+        return False
+    return 4 * 2 * _T_CHUNK * Ss * Bp * 4 <= _VMEM_BUDGET
+
+
+def _fbsum_kernel(
+    lo_hbm,     # (Tp, Ss, Bp) HBM — transposed log-obs
+    la_ref,     # (Ss, Ss) VMEM — log_a[s', s], _NEG padded
+    lat_ref,    # (Ss, Ss) VMEM — log_a transposed: lat[s', s] = la[s, s']
+    lpi_ref,    # (Ss, Bp) VMEM
+    al_hbm,     # (Tp, Ss, Bp) HBM out — log alpha
+    bt_hbm,     # (Tp, Ss, Bp) HBM out — log beta
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+):
+    Ss, Bp = lpi_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    last_c = n_chunks - 1
+
+    def body(lof_buf, lob_buf, al_buf, bt_buf,
+             inf_sems, inb_sems, alo_sems, bto_sems):
+        def in_f(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(chunk * tc, tc)], lof_buf.at[slot],
+                inf_sems.at[slot],
+            )
+
+        def in_b(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(chunk * tc, tc)], lob_buf.at[slot],
+                inb_sems.at[slot],
+            )
+
+        def out_a(slot, chunk):
+            return pltpu.make_async_copy(
+                al_buf.at[slot], al_hbm.at[pl.ds(chunk * tc, tc)],
+                alo_sems.at[slot],
+            )
+
+        def out_b(slot, chunk):
+            return pltpu.make_async_copy(
+                bt_buf.at[slot], bt_hbm.at[pl.ds(chunk * tc, tc)],
+                bto_sems.at[slot],
+            )
+
+        in_f(0, 0).start()
+        in_b(0, last_c).start()
+        la = la_ref[:, :]
+        lat = lat_ref[:, :]
+        lpi = lpi_ref[:, :]
+
+        def frames(c, slot, carry, n_frames: int):
+            """Advance BOTH recursions ``n_frames`` steps in lockstep.
+
+            ``mu`` carries lse(alpha_{t-1} + la) (lpi at t=0); ``bn``
+            carries beta_{t+1} + lo_{t+1} (anything at t >= T-1, where
+            the freeze writes zeros).
+            """
+            cb = last_c - c
+
+            def step(tf, carry):
+                mu, bn = carry
+                # -- forward at global frame c·tc + tf ---------------
+                lo_f = lof_buf[slot, tf]
+                alpha = lo_f + mu
+                mu_n = _lse0(la[:, :, None] + alpha[:, None, :])
+                al_buf[slot, pl.ds(tf, 1)] = alpha[None]
+                # -- backward at global frame cb·tc + (tc−1−tf) ------
+                tb_f = n_frames - 1 - tf
+                t_b = cb * tc + tb_f
+                lo_b = lob_buf[slot, tb_f]
+                bs = _lse0(lat[:, :, None] + bn[:, None, :])
+                if isinstance(t_b, int):
+                    if t_b >= t_true - 1:
+                        beta = jnp.zeros((Ss, Bp), jnp.float32)
+                    else:
+                        beta = bs
+                else:  # rolled interpret-mode loop: traced index
+                    beta = jnp.where(t_b >= t_true - 1, 0.0, bs)
+                bt_buf[slot, pl.ds(tb_f, 1)] = beta[None]
+                return mu_n, beta + lo_b
+
+            return _frame_loop(0, n_frames, step, carry)
+
+        def run_chunk(c, r_slot, carry, n_frames: int):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_f((r_slot + 1) % 2, r_slot + 1).start()
+                in_b((r_slot + 1) % 2, last_c - r_slot - 1).start()
+
+            slot = r_slot % 2
+            in_f(slot, r_slot).wait()
+            in_b(slot, last_c - r_slot).wait()
+
+            @pl.when(r_slot >= 2)
+            def _():
+                out_a(slot, r_slot - 2).wait()
+                out_b(slot, last_c - r_slot + 2).wait()
+
+            carry = frames(c, slot, carry, n_frames)
+            out_a(slot, r_slot).start()
+            out_b(slot, last_c - r_slot).start()
+            return carry
+
+        carry0 = (lpi, jnp.zeros((Ss, Bp), jnp.float32))
+        if n_chunks == 1:
+            run_chunk(0, 0, carry0, tc)
+        else:
+            carry = run_chunk(0, 0, carry0, tc)
+            if n_chunks > 2:
+                carry = jax.lax.fori_loop(
+                    1, n_chunks - 1,
+                    lambda r, cr: run_chunk(r, r, cr, tc),
+                    carry,
+                )
+            run_chunk(last_c, last_c, carry, tc)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_a((last_c - 1) % 2, last_c - 1).wait()
+            out_b((last_c - 1) % 2, 1).wait()
+
+        out_a(last_c % 2, last_c).wait()
+        out_b(last_c % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        lof_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        lob_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        al_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        bt_buf=pltpu.VMEM((2, t_chunk, Ss, Bp), jnp.float32),
+        inf_sems=pltpu.SemaphoreType.DMA((2,)),
+        inb_sems=pltpu.SemaphoreType.DMA((2,)),
+        alo_sems=pltpu.SemaphoreType.DMA((2,)),
+        bto_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_chunk",))
+def fbsum_smallk(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    t_chunk: int = _T_CHUNK,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused HMM forward-backward: ``(log_alpha, log_beta, log_z)``,
+    each ``(B, T, S)`` / ``(B,)``, equal to the two-kernel path within
+    lse-reassociation tolerance (~1e-5). Unragged only — ragged batches
+    stay on the separate kernels (the freeze index would be per-lane)."""
+    B, T, S = log_obs.shape
+    if not fbsum_supported(S, B):
+        raise ValueError(
+            f"fbsum_smallk requires S <= {_MAX_S} and "
+            f"4·2·{_T_CHUNK}·Ss·Bp·4 bytes of VMEM (got S={S}, B={B})"
+        )
+    Ss = _k_pad(S)
+    Bp = _ceil_to(B, LANES)
+    Tp = _ceil_to(T, t_chunk)
+
+    lo_t = jnp.transpose(log_obs.astype(jnp.float32), (1, 2, 0))
+    lo_t = _pad_to(lo_t, Ss, 1, 0.0)
+    lo_t = _pad_to(lo_t, Bp, 2, 0.0)
+    lo_t = _pad_to(lo_t, Tp, 0, 0.0)
+    la = jnp.maximum(log_a.astype(jnp.float32), _NEG)
+    la = _pad_to(_pad_to(la, Ss, 0, _NEG), Ss, 1, _NEG)
+    lat = jnp.swapaxes(la, 0, 1)
+    lpi = jnp.broadcast_to(
+        _pad_to(log_pi.astype(jnp.float32), Ss, 0, _NEG)[:, None],
+        (Ss, Bp),
+    )
+
+    al, bt = pl.pallas_call(
+        functools.partial(
+            _fbsum_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(lo_t, la, lat, lpi)
+
+    from ..core.semiring import logsumexp
+
+    log_alpha = jnp.transpose(al[:T, :S, :B], (2, 0, 1))
+    log_beta = jnp.transpose(bt[:T, :S, :B], (2, 0, 1))
+    return log_alpha, log_beta, logsumexp(log_alpha[:, -1], axis=-1)

@@ -1,0 +1,58 @@
+"""Bidirectional fused forward-backward kernel (ops/fbsum.py) vs core.
+
+Interpret-mode equality on CPU (SURVEY.md §4 kernel strategy); the
+hardware lane re-validates on the chip (alpha/beta/log_z within lse
+tolerance, 9.2e-5 measured at the benchmark shape).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_hmm_tpu.core.fb import forward_backward
+from pytorch_hmm_tpu.ops import auto_forward_backward
+from pytorch_hmm_tpu.ops.fbsum import fbsum_smallk, fbsum_supported
+
+
+@pytest.mark.parametrize(
+    "B,T,S",
+    [(3, 257, 5), (16, 250, 12), (2, 128, 4), (1, 50, 3), (4, 129, 16),
+     (2, 300, 16)],
+)
+def test_fbsum_matches_core(rng, B, T, S):
+    lo = jnp.asarray(rng.normal(size=(B, T, S)), jnp.float32)
+    la = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(S, S)), jnp.float32), axis=-1
+    )
+    lpi = jax.nn.log_softmax(jnp.asarray(rng.normal(size=(S,)), jnp.float32))
+    a1, b1, z1 = fbsum_smallk(lo, la, lpi)
+    _, a0, b0, z0 = forward_backward(lo, la, lpi)
+    np.testing.assert_allclose(a1, a0, atol=2e-4)
+    np.testing.assert_allclose(b1, b0, atol=2e-4)
+    np.testing.assert_allclose(z1, z0, atol=2e-4)
+
+
+def test_fbsum_supported_bounds():
+    assert fbsum_supported(12, 16)
+    assert fbsum_supported(16, 128)
+    # Ss=32 double buffers exceed the VMEM budget at the minimum lane
+    # tile, so the fused kernel is a S <= 16 specialist.
+    assert not fbsum_supported(17, 16)
+    assert not fbsum_supported(32, 64)
+
+
+def test_fbsum_under_outer_jit(rng):
+    """The auto path (which may dispatch to fbsum on TPU) must stay
+    jit-composable with concrete closed-over transitions."""
+    lo = jnp.asarray(rng.normal(size=(2, 64, 4)), jnp.float32)
+    la = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(4, 4)), jnp.float32), axis=-1
+    )
+    lpi = jnp.full((4,), -jnp.log(4.0))
+
+    @jax.jit
+    def f(x):
+        lg, a, b, z = auto_forward_backward(x, la, lpi)
+        return jnp.sum(lg) + jnp.sum(z)
+
+    assert np.isfinite(float(f(lo)))
