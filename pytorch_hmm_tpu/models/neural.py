@@ -313,36 +313,43 @@ class NeuralObservationModel(TrainMode):
         The linear heads distribute over ``obs_feats + state_emb``:
         ``W(f + e) + b = (Wf + b) + We``, so per-state head outputs are
         a shared observation part plus a tiny per-state table. The
-        quadratic is then evaluated in its DIRECT form ``Σ_d (u − m_s)²
-        w w_s`` one state at a time (S fused elementwise passes over
-        (B, T, D)) — expanding it into ``u²w·w_s − 2uw·(m_s w_s) + ...``
-        would run on the MXU but cancels catastrophically in f32 when
-        ``u ≈ m_s`` at large magnitudes. Same math as the reference's
-        per-state loop (``neural.py:198-208``); agrees with the indexed
-        path to ~1e-5 under f32 matmuls (on TPU at default precision,
-        both paths independently absorb bf16-pass noise from the
-        head/trunk matmuls — set ``jax.default_matmul_precision`` to
-        tighten).
+        quadratic runs in the CENTERED expanded form on the MXU —
+        ``Σ(u' − m'_s)²·w·w_s = u'²w·w_s − 2(u'w)·(m'_s w_s) +
+        w·(m'²_s w_s)`` as three ``(B·T, D) @ (D, S)`` dots — after
+        shifting both ``u`` and ``m_s`` by the mean of the state means
+        (exact; bounds the cross term so the expansion stays
+        O(Mahalanobis distance), the same conditioning trick as
+        ``emissions.fullcov_prepare``). The dots run at HIGHEST
+        precision: they are ~1 µs of MXU work, and true-f32 passes keep
+        this path within ~1e-5 of the indexed path — the earlier
+        DIRECT-form S-loop (one fused elementwise pass per state,
+        matching the reference's loop ``neural.py:198-208``) measured
+        0.045 ms of VPU time at the benchmark shape for the same
+        result.
         """
         D = self.observation_dim
         S = self.num_states
         x = observations
         emb = self.state_embedding(jnp.arange(S))          # (S, H)
+        hi = jax.lax.Precision.HIGHEST
         if self.model_type == "gaussian":
             mo = _f32(self.mean_net(obs_feats))            # (B,T,D) + bias
             lvo = _f32(self.logvar_net(obs_feats))
             ms = emb @ self.mean_net.kernel[...]           # (S,D), no bias
             lvs = emb @ self.logvar_net.kernel[...]
-            u = x - mo
+            center = jnp.mean(ms, axis=0)
+            u = (x - mo) - center
+            msc = ms - center
             wo = jnp.exp(-lvo)
             ws = jnp.exp(-lvs)                             # (S, D)
-            mahal = jnp.stack(
-                [
-                    jnp.sum((u - ms[s]) ** 2 * wo * ws[s], axis=-1)
-                    for s in range(S)
-                ],
-                axis=-1,
-            )                                              # (B, T, S)
+            uw = u * wo
+            t_uu = jnp.einsum("btd,sd->bts", u * uw, ws, precision=hi)
+            t_um = jnp.einsum("btd,sd->bts", uw, msc * ws, precision=hi)
+            t_mm = jnp.einsum("btd,sd->bts", wo, msc * msc * ws,
+                              precision=hi)
+            # A true Mahalanobis distance is non-negative; clamp so
+            # expansion rounding can never push log-probs above log_norm.
+            mahal = jnp.maximum(t_uu - 2.0 * t_um + t_mm, 0.0)
             log_norm = -0.5 * (
                 D * jnp.log(2.0 * jnp.pi)
                 + jnp.sum(lvo, axis=-1, keepdims=True)
