@@ -96,12 +96,26 @@ BENCH_MODELS = {
         serial_steps=160,
         smallk=True,
     ),
-    # B=16 T=1000 S=12 H=256 NeuralHMM forward-backward.
+    # B=16 T=1000 S=12 H=256 NeuralHMM forward-backward. Three
+    # sequential dispatches: the emission trunk+head (MXU), the fused
+    # bidirectional FB kernel (ops/fbsum.py — BOTH chains interleave in
+    # ONE 1000-step program, so the serial term is T, not 2T), and the
+    # posterior conditioning/exp pass (HBM).
     "neural_hmm_forward_rtf_b16_T1000_s12_h256": dict(
-        hbm_bytes=16e3 * 80 * 4 + 3 * 16e3 * 12 * 4,
-        mxu_flops=2 * 16e3 * (80 * 256 + 256 * 256 + 2 * 256 * 80),
-        serial_steps=2 * 1000,  # forward + backward chains
-        smallk=True,
+        dispatches=[
+            dict(  # emission: trunk matmuls + expanded-quadratic head
+                hbm_bytes=16e3 * 80 * 4 + 16e3 * 12 * 4,
+                mxu_flops=2 * 16e3 * (80 * 256 + 256 * 256 + 2 * 256 * 80),
+            ),
+            dict(  # fused fb: alpha+beta in one interleaved chain
+                hbm_bytes=3 * 16e3 * 12 * 4,
+                serial_steps=1000,
+                smallk=True,
+            ),
+            dict(  # shift/csh conditioning + gamma lse + 3 exp outputs
+                hbm_bytes=8 * 16e3 * 12 * 4,
+            ),
+        ],
     ),
     # B=32 T=131072 K=64 long-context forward (prob-space kernel).
     "long_context_forward_rtf_b32_T131072_k64": dict(
