@@ -17,9 +17,13 @@ program where the same steps are register-level vector ops:
   slot ``rank[j]`` — matching ``jax.lax.top_k``'s descending order and
   index-ascending tie-breaks bit-for-bit, with none of the W sequential
   max-extraction rounds it replaces (those were ~80% of the kernel);
-* the beam path history is selected by parent via masked sublane max
-  trees and shifted with a single lane roll (history right-aligned in
-  the padded lane tile) — no per-frame (W, H) gathers;
+* the beam path history NEVER enters the frame loop: each frame
+  records only its (parent slot, decoded state) pair; an in-kernel
+  backtrace of (W8, W8) one-hot dots reconstructs the chunk's paths
+  once at the end, and the wrapper merges them with the carried
+  history in a handful of per-CHUNK (W, H) XLA ops. (The previous
+  per-frame parent-select + roll over the (W, Hp) history tile was
+  ~60% of the kernel's runtime at H=1000.);
 * the scalar ``path_len`` / ``has_prev`` carries never enter the
   kernel: they evolve deterministically (``min(len + n_valid, H)``),
   so only the statically-peeled first frame consults them.
@@ -197,17 +201,18 @@ def _beam_kernel(
     pl0_ref,    # (1, 1) SMEM int32 — carried scalar path_len
     sc_ref,     # (W8, LANES) VMEM — carried scores (broadcast on lanes)
     oh_ref,     # (W8, Sl) VMEM — carried last-state one-hots
-    pt_ref,     # (W8, Hp) VMEM — carried paths, history right-aligned
     sc_out,     # (W8, LANES) VMEM out
     oh_out,     # (W8, Sl) VMEM out
-    pt_out,     # (W8, Hp) VMEM out
+    st_out,     # (Tp, LANES) VMEM out — per-frame states, final-hyp lanes
+    ps_out,     # (W8, LANES) VMEM out — start-of-chunk parent one-hots
+    pv_tab,     # (Tp, LANES) VMEM scratch — per-frame parent slots
+    sv_tab,     # (Tp, LANES) VMEM scratch — per-frame slot states
     *,
     t_pad: int,
     beam_w: int,
     num_states: int,
 ):
     W8, Sl = oh_ref.shape
-    Hp = pt_ref.shape[1]
     la = la_ref[:, :]
     nv = nv_ref[0, 0]
     first_chunk = pl0_ref[0, 0] == 0
@@ -217,11 +222,6 @@ def _beam_kernel(
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W8, 1), 0).astype(
         jnp.float32
     )
-    iota_w3 = jax.lax.broadcasted_iota(
-        jnp.int32, (W8, W8, 1), 1
-    ).astype(jnp.float32)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, Hp), 1)
-    last_col = iota_h == Hp - 1
     sub_iota2 = jax.lax.broadcasted_iota(
         jnp.int32, (W8, Sl), 0
     ).astype(jnp.float32)
@@ -240,6 +240,19 @@ def _beam_kernel(
     eye_sp = (iota_sp == iota_li).astype(jnp.float32)   # (Sp, Sl)
     ones_sp = jnp.ones((1, Sp), jnp.float32)
     real_rows_b = real_rows & jnp.ones((1, Sl), jnp.bool_)  # (W8, Sl)
+    # (W8, LANES) identity: transposes a (W8, 1) sublane vector to a
+    # (1, W8) lane row via one exact masked reduce (sublane→lane moves
+    # have no native shuffle; this is 2 vreg ops).
+    iota_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANES), 1
+    ).astype(jnp.float32)
+    eye_wl = (iota_w == iota_lane).astype(jnp.float32)  # (W8, LANES)
+
+    def _to_lane_row(col):  # (W8, 1) -> (1, W8-in-LANES)
+        return jnp.sum(col * eye_wl, axis=0, keepdims=True)
+
+    def _to_sublane_col(row):  # (1, LANES) -> (W8, 1)
+        return jnp.sum(row * eye_wl, axis=1, keepdims=True)
 
     def _dot(a, b, dims):
         return jax.lax.dot_general(
@@ -249,7 +262,7 @@ def _beam_kernel(
         )
 
     def step(tf, carry):
-        sc, oh, pt = carry                    # (W8,1), (W8,Sl), (W8,Hp)
+        sc, oh = carry                        # (W8, 1), (W8, Sl)
         lo_t = lo_ref[pl.ds(tf, 1), :]        # (1, Sl)
         rows = _dot_rows(oh, la)              # (W8, Sl)
         # Same grouping as the XLA step: (sc + la[ls]) + lo.
@@ -299,27 +312,58 @@ def _beam_kernel(
         # would otherwise outrank real negative scores).
         sc_n = jnp.where(real_rows, sc_n, neg_inf)
 
-        # Parent-select the path history (values >= 0: mask with 0),
-        # shift left within the right-aligned tile, append the state.
-        pmask = (pv_n[:, None] == iota_w3).astype(jnp.float32)
-        sel_pt = jnp.max(pmask * pt[None], axis=1)          # (W8, Hp)
-        new_pt = pltpu.roll(sel_pt, Hp - 1, axis=1)  # cyclic left-by-1
+        # Record (parent slot, decoded state) per beam slot as lane
+        # rows — the full path history is NOT touched per frame (the
+        # old per-frame parent-select + roll over (W8, Hp) was ~60% of
+        # this kernel's runtime at H=1000); one backtrace after the
+        # frame loop reconstructs the chunk's paths.
         svals = jnp.max(oh_n * iota_l, axis=1, keepdims=True)
-        new_pt = jnp.where(
-            last_col, jnp.broadcast_to(svals, (W8, Hp)), new_pt
-        )
+        pv_tab[pl.ds(tf, 1), :] = _to_lane_row(pv_n)
+        sv_tab[pl.ds(tf, 1), :] = _to_lane_row(svals)
 
         valid = tf < nv
         sc = jnp.where(valid, sc_n, sc)
         oh = jnp.where(valid, oh_n, oh)
-        pt = jnp.where(valid, new_pt, pt)
-        return (sc, oh, pt)
+        return (sc, oh)
 
-    carry0 = (sc_ref[:, 0:1], oh_ref[:, :], pt_ref[:, :])
-    sc, oh, pt = _frame_loop(0, t_pad, step, carry0)
+    def backtrace():
+        """Lineage reconstruction, newest frame first. ``cur[w]``
+        one-hot-encodes the slot that final hypothesis ``w`` occupied
+        at the frame being visited: frame t's decoded state for hyp w
+        is ``sv_t[slot_w(t)]`` (slots rerank every frame, so the
+        slot-major table must be remapped), then
+        ``slot_w(t-1) = pv_t[slot_w(t)]``. After the loop ``cur`` maps
+        final hypotheses to their START-of-chunk ancestors. Each step
+        is a few (W8, W8)-tile ops — the per-frame work this replaces
+        scaled with the history length instead."""
+        def back(i, cur):
+            t = t_pad - 1 - i
+            cur8 = jax.lax.slice_in_dim(cur, 0, W8, axis=1)
+            sv_col = _to_sublane_col(sv_tab[pl.ds(t, 1), :])  # (W8, 1)
+            st_w = jax.lax.dot_general(
+                cur8, sv_col, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (W8, 1): state of hyp w at frame t (exact one-hot pick)
+            st_out[pl.ds(t, 1), :] = _to_lane_row(st_w)
+            pv_col = _to_sublane_col(pv_tab[pl.ds(t, 1), :])
+            # pmat[s, p] = (parent of slot s == p): exact one-hot.
+            pmat = (pv_col == iota_lane).astype(jnp.float32)
+            nxt = jax.lax.dot_general(
+                cur8, pmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (W8, LANES), exact: one term per row
+            return jnp.where(t < nv, nxt, cur)
+
+        cur0 = eye_wl  # slot w holds hypothesis w at chunk end
+        return _frame_loop(0, t_pad, back, cur0)
+
+    carry0 = (sc_ref[:, 0:1], oh_ref[:, :])
+    sc, oh = _frame_loop(0, t_pad, step, carry0)
     sc_out[:, :] = jnp.broadcast_to(sc, (W8, LANES))
     oh_out[:, :] = oh
-    pt_out[:, :] = pt
+    ps_out[:, :] = backtrace()
 
 
 @jax.jit
@@ -337,7 +381,6 @@ def pallas_beam_chunk(
     W, H = paths.shape
     Sl = _ceil_to(S, LANES)
     Tp = _ceil_to(T, SUBLANES)
-    Hp = _ceil_to(H, LANES)
     W8 = _ceil_to(W, SUBLANES)
 
     la = _pad_to(_pad_to(log_a.astype(jnp.float32), Sl, 0, _NEG), Sl, 1, _NEG)
@@ -356,14 +399,8 @@ def pallas_beam_chunk(
         _pad_to(last_states.astype(jnp.int32), W8, 0, 0), Sl,
         dtype=jnp.float32,
     )
-    # History right-aligned in the padded lane tile: lane Hp-H+j holds
-    # paths[:, j]; the junk lanes [0, Hp-H) absorb the roll wrap.
-    pt_in = _pad_to(
-        jnp.pad(paths.astype(jnp.float32), ((0, 0), (Hp - H, 0))),
-        W8, 0, 0.0,
-    )
 
-    sc, oh, pt = pl.pallas_call(
+    sc, oh, st_tab, psel = pl.pallas_call(
         functools.partial(
             _beam_kernel, t_pad=Tp, beam_w=W, num_states=S
         ),
@@ -374,9 +411,9 @@ def pallas_beam_chunk(
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -384,14 +421,47 @@ def pallas_beam_chunk(
         out_shape=[
             jax.ShapeDtypeStruct((W8, LANES), jnp.float32),
             jax.ShapeDtypeStruct((W8, Sl), jnp.float32),
-            jax.ShapeDtypeStruct((W8, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((W8, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Tp, LANES), jnp.float32),
+            pltpu.VMEM((Tp, LANES), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(la, lo, nv, pl0, sc_in, oh_in, pt_in)
+    )(la, lo, nv, pl0, sc_in, oh_in)
 
     new_scores = sc[:W, 0]
     new_states = jnp.argmax(oh[:W], axis=1).astype(jnp.int32)
-    new_paths = pt[:W, Hp - H:].astype(jnp.int32)
+
+    # History merge (XLA side — a few (W, H) ops per CHUNK, vs the old
+    # per-FRAME (W, Hp) select+roll inside the kernel): each surviving
+    # hypothesis inherits its start-of-chunk ancestor's history,
+    # shifted left by n_valid, with the chunk's decoded states (from
+    # the in-kernel backtrace) in the freed tail lanes.
+    nv_s = jnp.asarray(n_valid, jnp.int32)
+    parent = psel[:W, :W]                       # (W, W) one-hot, exact
+    inherited = jnp.einsum(
+        "wp,ph->wh", parent, paths.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rolled = jnp.roll(inherited, -nv_s, axis=1)
+    # Chunk states: frame t of this chunk belongs at lane H - nv + t.
+    chunk = st_tab[:, :W].T                     # (W, Tp) frame-major
+    if Tp <= H:
+        # frame t sits at lane H - Tp + t; right-roll by Tp - nv.
+        chunk = jnp.pad(chunk, ((0, 0), (H - Tp, 0)))
+        chunk = jnp.roll(chunk, Tp - nv_s, axis=1)
+    else:
+        # Chunk longer than the history: keep frames [s, s+H),
+        # s = max(0, nv - H) — exactly the ones that can land in-window.
+        s = jnp.maximum(0, nv_s - H)
+        chunk = jax.lax.dynamic_slice(chunk, (0, s), (W, H))
+        chunk = jnp.roll(chunk, H - nv_s + s, axis=1)
+    lane = jnp.arange(H)[None, :]
+    new_paths = jnp.where(
+        lane >= H - nv_s, chunk, rolled
+    ).astype(jnp.int32)
     # path_len evolves deterministically: +1 per valid frame, capped.
     new_plen = jnp.minimum(
         path_len + jnp.asarray(n_valid, path_len.dtype), H
