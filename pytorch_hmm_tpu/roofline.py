@@ -88,8 +88,9 @@ BENCH_MODELS = {
         smallk=True,
     ),
     # chunk=160 S=12 D=80 streaming beam step. NOTE: the beam body
-    # (rank top-k + path-history select) is ~4x the bare-trellis
-    # per-step floor, so this row's fraction is a conservative bound.
+    # (rank top-k + parent/state recording + end-of-chunk backtrace)
+    # is ~4-5x the bare-trellis per-step floor, so this row's fraction
+    # is a conservative bound.
     "streaming_chunk_p50_s12_d80_beam": dict(
         hbm_bytes=160 * 80 * 4 + 160 * 4,
         mxu_flops=2 * 160 * 80 * 12,
@@ -104,7 +105,10 @@ BENCH_MODELS = {
     "neural_hmm_forward_rtf_b16_T1000_s12_h256": dict(
         dispatches=[
             dict(  # emission: trunk matmuls + expanded-quadratic head
-                hbm_bytes=16e3 * 80 * 4 + 16e3 * 12 * 4,
+                # hbm counts the (B,T,D) obs read plus ~3 unavoidable
+                # intermediate passes of the head's elementwise prep
+                # (u, u·w, exp) that XLA cannot fuse into one consumer.
+                hbm_bytes=4 * 16e3 * 80 * 4 + 16e3 * 12 * 4,
                 mxu_flops=2 * 16e3 * (80 * 256 + 256 * 256 + 2 * 256 * 80),
             ),
             dict(  # fused fb: alpha+beta in one interleaved chain
