@@ -428,6 +428,22 @@ def main():
             f"long-context: {frames_per_sec/1e6:.0f}M frames/s",
             file=sys.stderr, flush=True,
         )
+
+        # Training at the same scale: d log Z / d log_obs (posteriors).
+        # The VJP runs BOTH chains in one fused prob-space kernel pass
+        # (ops/scan.py pallas_fb_prob; r3 measured 60 ms on separate
+        # fwd+bwd kernels).
+        def long_grad(x):
+            g = jax.grad(
+                lambda y: jnp.sum(ops.auto_log_likelihood(y, la, lpi))
+            )(x)
+            return jnp.sum(g[:, -1])
+
+        lat = measure(long_grad, lo, 2)
+        lines.append(emit(
+            "long_context_grad_rtf_b32_T131072_k64", lat,
+            B * T * FRAME_SEC, None, ref_rtf_base=10e6 * FRAME_SEC,
+        ))
     except Exception as e:  # pragma: no cover
         print(f"long-context bench failed: {e!r}", file=sys.stderr,
               flush=True)

@@ -27,6 +27,7 @@ from .scan import (
     LANES,
     pallas_backward,
     pallas_backward_prob,
+    pallas_fb_prob,
     pallas_forward,
     pallas_forward_prob,
     pallas_viterbi,
@@ -198,15 +199,32 @@ def _ll_fwd(log_obs, log_a, log_pi):
     # them, so the VJP path always runs posterior-grade (HIGHEST dots
     # in the long-sequence prob kernels) regardless of the mixed flag —
     # measured: DEFAULT dots cost ~5e-2 absolute on gamma at T=5000.
+    B, T, K = log_obs.shape
+    if (
+        not hsmm_smallk_supported(K, 1, B)
+        and T >= _PROB_FWD_MIN_T and K <= LANES
+        and _prob_kernel_safe(log_a)
+    ):
+        # The VJP ALWAYS runs a backward right after this, so in the
+        # long-context regime both chains come from one fused kernel
+        # pass (pallas_fb_prob) — measured 29 + 29 ms sequential vs
+        # ~35 ms fused at (B=32, T=131072, K=64); beta rides alpha's
+        # dependency stalls.
+        log_alpha, log_beta, lz = pallas_fb_prob(
+            log_obs, log_a, log_pi,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return lz, (log_obs, log_a, log_pi, log_alpha, log_beta, lz)
     log_alpha, lz = _hmm_fwd_fast(
         log_obs, log_a, log_pi, posterior_grade=True
     )
-    return lz, (log_obs, log_a, log_pi, log_alpha, lz)
+    return lz, (log_obs, log_a, log_pi, log_alpha, None, lz)
 
 
 def _ll_bwd(res, g):
-    log_obs, log_a, log_pi, log_alpha, lz = res
-    log_beta = _hmm_bwd_fast(log_obs, log_a, posterior_grade=True)
+    log_obs, log_a, log_pi, log_alpha, log_beta, lz = res
+    if log_beta is None:
+        log_beta = _hmm_bwd_fast(log_obs, log_a, posterior_grade=True)
     log_gamma = log_alpha + log_beta - lz[:, None, None]
     gamma = jnp.exp(log_gamma)
     gw = g[:, None, None] * gamma
@@ -306,11 +324,21 @@ def auto_forward_backward(
             and fbsum_supported(K, B)
         ):
             # Bidirectional fused kernel: both chains in one program
-            # (the independent recursions interleave, ~1.5x the two
-            # sequential launches — ops/fbsum.py). Long unragged
-            # sequences keep the minimal-latency prob-space kernels.
+            # (the independent recursions interleave, ~2x the two
+            # sequential launches — ops/fbsum.py).
             alpha_hat, beta_hat, lz_hat = fbsum_smallk(
                 lo_hat, log_a, log_pi
+            )
+        elif (
+            lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES
+            and _prob_kernel_safe(log_a)
+        ):
+            # Long-context twin: both prob-space chains fused in one
+            # kernel pass (ops/scan.py pallas_fb_prob). Posteriors are
+            # the deliverable here, so dots run at true f32.
+            alpha_hat, beta_hat, lz_hat = pallas_fb_prob(
+                lo_hat, log_a, log_pi,
+                precision=jax.lax.Precision.HIGHEST,
             )
         else:
             alpha_hat, lz_hat = _hmm_fwd_fast(

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "pallas_forward", "pallas_forward_prob", "pallas_backward",
-    "pallas_backward_prob", "pallas_viterbi",
+    "pallas_backward_prob", "pallas_fb_prob", "pallas_viterbi",
 ]
 
 LANES = 128
@@ -1233,3 +1233,290 @@ def pallas_viterbi(
 
     states = st_vals[:B, :T].astype(jnp.int32)
     return states, score_p[:B, 0]
+
+
+# ---------------------------------------------------------------------------
+# Long-sequence fused forward+backward: both prob-space chains, one pass
+# ---------------------------------------------------------------------------
+#
+# The forward and backward recursions are independent dependency chains
+# (alpha runs t=0→T−1, beta runs T−1→0), and each prob-space step is
+# latency-bound (one dependent MXU dot + multiply ≈ 190-220 ns while
+# the issued work is ~µs-scale) — so one kernel interleaves them per
+# frame and the second chain largely rides the first's stalls (the same
+# trick as the small-K ``ops/fbsum.py``, here at the T ≥ 1024 regime).
+# Two input DMA streams walk the observations from both ends; alpha and
+# beta stream out behind the compute.
+#
+# VMEM: the separate kernels each stage outputs in their own q buffer;
+# doubling that for two directions would break the 32-row batch tile
+# (4 × 2 × 32·128·128·4 ≈ 17 MB > VMEM). Instead each direction stages
+# IN PLACE: after frame tf's dot consumes e_tf, that row of the obs
+# buffer is dead, so the staged output overwrites it and the out-DMA
+# drains the obs buffer itself. Slot-reuse hazard (in-DMA of chunk j+1
+# vs out-DMA of chunk j−1 on the same slot) is handled by prefetching
+# LATE — after the serial chain, by which point the previous out-DMA
+# (~2.4 µs for 2 MB) has long drained behind the ~25 µs chain.
+
+def _fb_prob_kernel(
+    lo_hbm, pa_ref, pa_t_ref, pi_ref, tri_ref, exp_ref,
+    alpha_out, beta_out, *,
+    t_chunk, T, b_tile, precision, rs,
+):
+    Bt = b_tile
+    K = pa_ref.shape[1]
+    n_chunks = T // t_chunk
+    n_rs = t_chunk // rs
+    b0 = pl.program_id(0) * Bt
+
+    def body(of_buf, ob_buf, mf_buf, mb_buf, mc_buf, cf_buf, cb_buf,
+             inf_sems, inb_sems, outf_sems, outb_sems):
+        def in_f(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
+                of_buf.at[slot], inf_sems.at[slot])
+
+        def in_b(slot, chunk):
+            return pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :],
+                ob_buf.at[slot], inb_sems.at[slot])
+
+        def out_f(slot, chunk):
+            return pltpu.make_async_copy(
+                of_buf.at[slot],
+                alpha_out.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                outf_sems.at[slot])
+
+        def out_b(slot, chunk):
+            return pltpu.make_async_copy(
+                ob_buf.at[slot],
+                beta_out.at[
+                    pl.ds(b0, Bt), pl.ds(chunk * t_chunk, t_chunk), :
+                ],
+                outb_sems.at[slot])
+
+        in_f(0, 0).start()
+        in_b(0, n_chunks - 1).start()
+        pi = pi_ref[:, :]
+
+        def chunk_body(j, carry):
+            qf, Cf, qb, Cb = carry
+            cf = j
+            cb = n_chunks - 1 - j
+            slot = j % 2
+
+            in_f(slot, cf).wait()
+            in_b(slot, cb).wait()
+
+            # ---- pre-passes: shift + exp both chunks ----
+            lof = of_buf[slot]
+            mf = jnp.maximum(jnp.max(lof, axis=-1, keepdims=True), _NEG)
+            of_buf[slot] = jnp.exp(lof - mf)
+            mcum = jax.lax.dot_general(
+                mf[:, :, 0], tri_ref[:, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mf_buf[slot] = mcum
+
+            lob = ob_buf[slot]
+            mb = jnp.maximum(jnp.max(lob, axis=-1, keepdims=True), _NEG)
+            ob_buf[slot] = jnp.exp(lob - mb)
+            mrev = jax.lax.dot_general(
+                mb[:, :, 0], tri_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mb_buf[slot] = mrev
+            mc_buf[slot] = mb[:, :, 0]
+            msum_b = mrev[:, 0:1]
+
+            # ---- fused serial chains: rs-blocked, both directions ----
+            def rs_block(rb, carry):
+                qf, Cf, qb, Cb = carry
+                rbb = n_rs - 1 - rb
+                cf_buf[slot, :, pl.ds(rb, 1)] = Cf
+                cb_buf[slot, :, pl.ds(rbb, 1)] = Cb
+
+                def frame(i, qq):
+                    qf, qb = qq
+                    # forward frame rb·rs + i
+                    tff = rb * rs + i
+                    ef = of_buf[slot, :, tff, :]
+                    sf = jax.lax.dot_general(
+                        qf, pa_ref[:, :], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    qnf = sf * ef
+                    qnf = jnp.where(cf * t_chunk + tff == 0, pi * ef, qnf)
+                    of_buf[slot, :, tff, :] = qnf
+                    # backward frame rbb·rs + (rs−1−i)
+                    tfb = rbb * rs + (rs - 1 - i)
+                    eb = ob_buf[slot, :, tfb, :]
+                    sb = jax.lax.dot_general(
+                        qb, pa_t_ref[:, :], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    ob_buf[slot, :, tfb, :] = sb
+                    return qnf, sb * eb
+
+                qf, qb = jax.lax.fori_loop(
+                    0, rs, frame, (qf, qb), unroll=rs)
+                rf = jnp.maximum(
+                    jnp.max(qf, axis=-1, keepdims=True), 1e-37)
+                rb_ = jnp.maximum(
+                    jnp.max(qb, axis=-1, keepdims=True), 1e-37)
+                return (qf * (1.0 / rf), Cf + jnp.log(rf),
+                        qb * (1.0 / rb_), Cb + jnp.log(rb_))
+
+            qf, Cf, qb, Cb = jax.lax.fori_loop(
+                0, n_rs, rs_block, (qf, Cf, qb, Cb),
+                unroll=n_rs if not _use_interpret() else 1)
+
+            # ---- late prefetch: the previous slot's out-DMAs drained
+            # behind the chain; reuse it for the next chunks ----
+            @pl.when(j + 1 < n_chunks)
+            def _():
+                nslot = (j + 1) % 2
+
+                @pl.when(j >= 1)
+                def _():
+                    out_f(nslot, cf - 1).wait()
+                    out_b(nslot, cb + 1).wait()
+
+                in_f(nslot, cf + 1).start()
+                in_b(nslot, cb - 1).start()
+
+            # ---- post-passes: staged values -> log alpha / log beta --
+            crepf = jax.lax.dot_general(
+                cf_buf[slot], exp_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            shf = crepf + mf_buf[slot]
+            of_buf[slot] = jnp.log(
+                jnp.maximum(of_buf[slot], 1e-37)
+            ) + shf[:, :, None]
+            out_f(slot, cf).start()
+
+            crepb = jax.lax.dot_general(
+                cb_buf[slot], exp_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            shb = crepb + (mb_buf[slot] - mc_buf[slot])
+            ob_buf[slot] = jnp.log(
+                jnp.maximum(ob_buf[slot], 1e-37)
+            ) + shb[:, :, None]
+            out_b(slot, cb).start()
+
+            Cf = Cf + mf_buf[slot, :, pl.ds(t_chunk - 1, 1)]
+            return qf, Cf, qb, Cb + msum_b
+
+        qf0 = jnp.zeros((Bt, K), jnp.float32)
+        qb0 = jnp.ones((Bt, K), jnp.float32)
+        C0 = jnp.zeros((Bt, 1), jnp.float32)
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (qf0, C0, qb0, C0))
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_f((n_chunks - 2) % 2, n_chunks - 2).wait()
+            out_b((n_chunks - 2) % 2, 1).wait()
+
+        out_f((n_chunks - 1) % 2, n_chunks - 1).wait()
+        out_b((n_chunks - 1) % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        of_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        ob_buf=pltpu.VMEM((2, Bt, t_chunk, K), jnp.float32),
+        mf_buf=pltpu.VMEM((2, Bt, t_chunk), jnp.float32),
+        mb_buf=pltpu.VMEM((2, Bt, t_chunk), jnp.float32),
+        mc_buf=pltpu.VMEM((2, Bt, t_chunk), jnp.float32),
+        cf_buf=pltpu.VMEM((2, Bt, t_chunk // rs), jnp.float32),
+        cb_buf=pltpu.VMEM((2, Bt, t_chunk // rs), jnp.float32),
+        inf_sems=pltpu.SemaphoreType.DMA((2,)),
+        inb_sems=pltpu.SemaphoreType.DMA((2,)),
+        outf_sems=pltpu.SemaphoreType.DMA((2,)),
+        outb_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_chunk", "b_tile", "rs", "precision")
+)
+def pallas_fb_prob(
+    log_obs: jax.Array,
+    log_a: jax.Array,
+    log_pi: jax.Array,
+    t_chunk: int = 128,
+    b_tile: Optional[int] = None,
+    rs: int = 8,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused long-sequence ``(log_alpha, log_beta, log_z)`` — both
+    prob-space chains in ONE kernel pass (see the section comment).
+    Unragged only; same precision semantics as ``pallas_forward_prob``.
+    Used by the likelihood VJP (alpha AND beta are always both needed
+    there) and by ``auto_forward_backward`` at T ≥ 1024."""
+    B, T, K = log_obs.shape
+    Kp = _ceil_to(K, LANES)
+    if b_tile is None:
+        bt = _pick_b_tile(B, Kp, t_chunk)
+        b_tile = bt if B % bt == 0 else SUBLANES
+    Tp = _ceil_to(T, t_chunk)
+    Bp = _ceil_to(B, b_tile)
+
+    lo = _pad_to(log_obs.astype(jnp.float32), Kp, 2, _NEG)
+    lo = _pad_to(lo, Tp, 1, 0.0)
+    lo = _pad_to(lo, Bp, 0, 0.0)
+    la = _pad_to(log_a.astype(jnp.float32), Kp, 0, _NEG)
+    la = _pad_to(la, Kp, 1, _NEG)
+    pa = jnp.exp(la)
+    pi = jnp.exp(_pad_to(log_pi.astype(jnp.float32), Kp, 0, _NEG))[None, :]
+    tri = jnp.tril(jnp.ones((t_chunk, t_chunk), jnp.float32))
+    n_rs = t_chunk // rs
+    expand = (
+        jnp.arange(t_chunk)[None, :] // rs
+        == jnp.arange(n_rs)[:, None]
+    ).astype(jnp.float32)
+
+    nb = Bp // b_tile
+    alpha_p, beta_p = pl.pallas_call(
+        functools.partial(
+            _fb_prob_kernel, t_chunk=t_chunk, T=Tp, b_tile=b_tile,
+            precision=precision, rs=rs,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, t_chunk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rs, t_chunk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Tp, Kp), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(lo, pa, jnp.swapaxes(pa, 0, 1), pi, tri, expand)
+
+    log_alpha = alpha_p[:B, :T, :K]
+    log_beta = beta_p[:B, :T, :K]
+    lz = jax.scipy.special.logsumexp(log_alpha[:, -1, :], axis=-1)
+    return log_alpha, log_beta, lz

@@ -128,6 +128,23 @@ BENCH_MODELS = {
         serial_steps=131072,
         smallk=False,
     ),
+    # B=32 T=131072 K=64 long-context gradient: one fused fb kernel
+    # pass (alpha+beta interleaved — serial term is T, not 2T) plus the
+    # posterior/xi assembly, which XLA fuses into streaming reductions:
+    # ~3 exp-class VPU ops per (B,T,K,K) xi element dominate it.
+    "long_context_grad_rtf_b32_T131072_k64": dict(
+        dispatches=[
+            dict(  # fused fb: lo in, alpha+beta out
+                hbm_bytes=3 * 32 * 131072 * 64 * 4,
+                mxu_flops=2 * 2 * 32 * 131072 * 64 * 64,
+                serial_steps=131072,
+            ),
+            dict(  # gamma + xi assembly (streaming, no (B,T,K,K) buf)
+                hbm_bytes=4 * 32 * 131072 * 64 * 4,
+                vpu_flops=3.0 * 32 * 131071 * 64 * 64,
+            ),
+        ],
+    ),
     # B=24 T=800 S=10 D=20 semi-Markov decode.
     "semi_markov_decode_rtf_b24_T800_s10_d20": dict(
         hbm_bytes=24 * 800 * 80 * 4 + 2 * 24 * 800 * 10 * 4 + 24 * 800 * 4,

@@ -56,3 +56,38 @@ def test_fbsum_under_outer_jit(rng):
         return jnp.sum(lg) + jnp.sum(z)
 
     assert np.isfinite(float(f(lo)))
+
+
+@pytest.mark.parametrize("B,T,K", [(2, 256, 16), (3, 384, 64), (2, 130, 32)])
+def test_fb_prob_matches_core(rng, B, T, K):
+    """Fused long-context prob-space forward+backward vs core (within
+    the prob kernels' rescale-reassociation envelope)."""
+    from pytorch_hmm_tpu.ops.scan import pallas_fb_prob
+
+    lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    la = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(K, K)), jnp.float32), axis=-1
+    )
+    lpi = jax.nn.log_softmax(jnp.asarray(rng.normal(size=(K,)), jnp.float32))
+    a1, b1, z1 = pallas_fb_prob(lo, la, lpi)
+    _, a0, b0, z0 = forward_backward(lo, la, lpi)
+    np.testing.assert_allclose(a1, a0, atol=2e-2)
+    np.testing.assert_allclose(b1, b0, atol=2e-2)
+    np.testing.assert_allclose(z1, z0, atol=2e-2)
+
+
+def test_ll_grad_long_context_matches_short_formula(rng):
+    """The fused-VJP long-context gradient must equal the core-path
+    gradient (posteriors)."""
+    from pytorch_hmm_tpu.ops import auto_log_likelihood
+    from pytorch_hmm_tpu.core import log_likelihood as core_ll
+
+    B, T, K = 2, 64, 6
+    lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    la = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(K, K)), jnp.float32), axis=-1
+    )
+    lpi = jnp.full((K,), -jnp.log(float(K)))
+    g1 = jax.grad(lambda x: jnp.sum(auto_log_likelihood(x, la, lpi)))(lo)
+    g0 = jax.grad(lambda x: jnp.sum(core_ll(x, la, lpi)))(lo)
+    np.testing.assert_allclose(g1, g0, atol=1e-4)
