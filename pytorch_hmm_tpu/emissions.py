@@ -69,20 +69,47 @@ def diag_gaussian_log_probs(
     """
     D = obs.shape[-1]
     inv_var = jnp.exp(-log_vars)  # (K, D)
-    # Quadratic-form expansion packed into ONE augmented MXU matmul:
-    # [x², x, 1] @ [inv_var; -2 μ·inv_var; Σμ²·inv_var]ᵀ gives the full
-    # Mahalanobis term per (frame, state) — measured ~1.3× the two-
-    # einsum form at speech shapes (one kernel, one accumulator, no
-    # (B,T,K)-sized xx/xm intermediates). x² is squared in f32 BEFORE
-    # any bf16 cast (squaring rounded values doubles the error).
     mm = jnp.sum(means * means * inv_var, axis=-1)  # (K,)
+    log_norm = -0.5 * (D * _LOG_2PI + jnp.sum(log_vars, axis=-1))
+
+    # TPU: a small Pallas kernel squares x in registers and applies the
+    # expansion as two resident-weight dots — ONE observation read. The
+    # XLA fallback packs [x², x, 1] @ W into one augmented matmul, but
+    # XLA materializes the (B, T, 2D+1) augmented operand through HBM
+    # (~41 MB extra at the flagship shape: measured 0.070 ms vs the
+    # kernel's ~0.03 against a ~0.025 data floor). x² is squared in f32
+    # BEFORE any bf16 pass either way (squaring rounded values doubles
+    # the error).
+    if (
+        obs.ndim == 3 and means.ndim == 2
+        and jax.default_backend() == "tpu"
+    ):
+        from .ops import _pallas_opt_out
+        from .ops.emit import diag_quadratic, diag_quadratic_supported
+        from .precision import compute_dtype as _resolve_dtype
+
+        if not _pallas_opt_out() and diag_quadratic_supported(
+            D, means.shape[0]
+        ):
+            # Mirror mxu_einsum's policy: bf16-pass multiplies when the
+            # mixed flag allows, true f32 otherwise.
+            prec = (
+                jax.lax.Precision.DEFAULT
+                if _resolve_dtype(compute_dtype) == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            )
+            mahal = diag_quadratic(
+                obs, inv_var.T, (-2.0 * means * inv_var).T, mm,
+                precision=prec,
+            )
+            return log_norm - 0.5 * mahal
+
     W = jnp.concatenate(
         [inv_var, -2.0 * means * inv_var, mm[..., None]], axis=-1
     )  # (K, 2D+1)
     ones = jnp.ones((*obs.shape[:-1], 1), obs.dtype)
     aug = jnp.concatenate([obs * obs, obs, ones], axis=-1)  # (..., 2D+1)
     mahal = mxu_einsum("bte,ke->btk", aug, W, dtype=compute_dtype)
-    log_norm = -0.5 * (D * _LOG_2PI + jnp.sum(log_vars, axis=-1))
     return log_norm - 0.5 * mahal
 
 
