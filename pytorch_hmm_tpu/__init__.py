@@ -81,6 +81,7 @@ from .models import (
 )
 from .streaming import (
     AdaptiveLatencyController,
+    MultiStreamDecoder,
     StreamingHMMProcessor,
     StreamingResult,
 )
@@ -157,6 +158,7 @@ __all__ = [
     "ContextualNeuralHMM",
     # streaming
     "StreamingHMMProcessor",
+    "MultiStreamDecoder",
     "StreamingResult",
     "AdaptiveLatencyController",
     # alignment

@@ -1,4 +1,5 @@
-"""Pallas streaming-chunk decoders (greedy + fixed-width beam).
+"""Pallas streaming-chunk decoder (greedy; the beam lives in
+``stream_multi.py``).
 
 The streaming processor's chunk step is a ``lax.scan`` over ~160 frames
 whose per-frame body is a handful of *tiny* ops (a row gather from the
@@ -12,23 +13,14 @@ program where the same steps are register-level vector ops:
 * hypotheses ride SUBLANES, states ride LANES; the carried hypothesis
   states are lane one-hots, so the per-frame transition-row "gather"
   is one exact ``(W, S) @ (S, S)`` one-hot matmul on the MXU;
-* the per-frame top-k is RANK selection: a pairwise "beats" compare
-  block plus exact one-hot/0-1 MXU matmuls places state ``j`` in beam
-  slot ``rank[j]`` — matching ``jax.lax.top_k``'s descending order and
-  index-ascending tie-breaks bit-for-bit, with none of the W sequential
-  max-extraction rounds it replaces (those were ~80% of the kernel);
-* the beam path history NEVER enters the frame loop: each frame
-  records only its (parent slot, decoded state) pair; an in-kernel
-  backtrace of (W8, W8) one-hot dots reconstructs the chunk's paths
-  once at the end, and the wrapper merges them with the carried
-  history in a handful of per-CHUNK (W, H) XLA ops. Measured: 0.091 →
-  0.084 ms per 160-frame chunk at H=1000 — the frame loop was less
-  history-bound than its op count suggested (latency-, not
-  throughput-bound), but per-frame cost no longer scales with H at
-  all (H=4096+ histories now cost the same);
-* the scalar ``path_len`` / ``has_prev`` carries never enter the
-  kernel: they evolve deterministically (``min(len + n_valid, H)``),
-  so only the statically-peeled first frame consults them.
+* the scalar ``has_prev`` carry never enters the kernel: it evolves
+  deterministically, so only the statically-peeled first frame
+  consults it.
+
+The fixed-width BEAM decoder lives in ``stream_multi.py`` — it decodes
+N concurrent streams per launch and, at N=1, supersedes the
+single-stream beam kernel that used to live here (its mask-reduce rank
+block measured 0.069 vs 0.084 ms per 160-frame chunk).
 
 Numerics and tie-breaks match the XLA reference steps in
 ``streaming.py`` bit-for-bit (one-hot matmuls sum exactly one term;
@@ -53,7 +45,6 @@ from .smallk import _frame_loop
 
 __all__ = [
     "pallas_greedy_chunk",
-    "pallas_beam_chunk",
     "stream_chunk_supported",
 ]
 
@@ -190,282 +181,3 @@ def pallas_greedy_chunk(
     new_prev = jnp.argmax(oh[0]).astype(jnp.int32)
     new_has = jnp.logical_or(has_prev, n_valid > 0)
     return (new_prev, new_has), states, jnp.exp(scores)
-
-
-# ---------------------------------------------------------------------------
-# Beam
-# ---------------------------------------------------------------------------
-
-def _beam_kernel(
-    la_ref,     # (Sl, Sl) VMEM
-    lo_ref,     # (Tp, Sl) VMEM
-    nv_ref,     # (1, 1) SMEM int32
-    pl0_ref,    # (1, 1) SMEM int32 — carried scalar path_len
-    sc_ref,     # (W8, LANES) VMEM — carried scores (broadcast on lanes)
-    oh_ref,     # (W8, Sl) VMEM — carried last-state one-hots
-    sc_out,     # (W8, LANES) VMEM out
-    oh_out,     # (W8, Sl) VMEM out
-    st_out,     # (Tp, LANES) VMEM out — per-frame states, final-hyp lanes
-    ps_out,     # (W8, LANES) VMEM out — start-of-chunk parent one-hots
-    pv_tab,     # (Tp, LANES) VMEM scratch — per-frame parent slots
-    sv_tab,     # (Tp, LANES) VMEM scratch — per-frame slot states
-    *,
-    t_pad: int,
-    beam_w: int,
-    num_states: int,
-):
-    W8, Sl = oh_ref.shape
-    la = la_ref[:, :]
-    nv = nv_ref[0, 0]
-    first_chunk = pl0_ref[0, 0] == 0
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, Sl), 1).astype(
-        jnp.float32
-    )
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W8, 1), 0).astype(
-        jnp.float32
-    )
-    sub_iota2 = jax.lax.broadcasted_iota(
-        jnp.int32, (W8, Sl), 0
-    ).astype(jnp.float32)
-    neg_inf = jnp.float32(-jnp.inf)
-    real_rows = iota_w < float(beam_w)  # (W8, 1)
-
-    # Rank-selection constants (static, hoisted out of the frame loop).
-    # Only eligible states (index < num_states) can beat anything, so the
-    # pairwise "beats" matrix needs just Sp = ceil8(num_states) sublanes.
-    Sp = max(_ceil_to(num_states, SUBLANES), SUBLANES)
-    iota_sp = jax.lax.broadcasted_iota(jnp.int32, (Sp, 1), 0)
-    iota_li = jax.lax.broadcasted_iota(jnp.int32, (1, Sl), 1)
-    elig_col = iota_sp < num_states               # (Sp, 1)
-    elig_row = iota_li < num_states               # (1, Sl)
-    i_lt_j = iota_sp < iota_li                    # (Sp, Sl)
-    eye_sp = (iota_sp == iota_li).astype(jnp.float32)   # (Sp, Sl)
-    ones_sp = jnp.ones((1, Sp), jnp.float32)
-    real_rows_b = real_rows & jnp.ones((1, Sl), jnp.bool_)  # (W8, Sl)
-    # (W8, LANES) identity: transposes a (W8, 1) sublane vector to a
-    # (1, W8) lane row via one exact masked reduce (sublane→lane moves
-    # have no native shuffle; this is 2 vreg ops).
-    iota_lane = jax.lax.broadcasted_iota(
-        jnp.int32, (1, LANES), 1
-    ).astype(jnp.float32)
-    eye_wl = (iota_w == iota_lane).astype(jnp.float32)  # (W8, LANES)
-
-    def _to_lane_row(col):  # (W8, 1) -> (1, W8-in-LANES)
-        return jnp.sum(col * eye_wl, axis=0, keepdims=True)
-
-    def _to_sublane_col(row):  # (1, LANES) -> (W8, 1)
-        return jnp.sum(row * eye_wl, axis=1, keepdims=True)
-
-    def _dot(a, b, dims):
-        return jax.lax.dot_general(
-            a, b, (dims, ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    def step(tf, carry):
-        sc, oh = carry                        # (W8, 1), (W8, Sl)
-        lo_t = lo_ref[pl.ds(tf, 1), :]        # (1, Sl)
-        rows = _dot_rows(oh, la)              # (W8, Sl)
-        # Same grouping as the XLA step: (sc + la[ls]) + lo.
-        cont = (sc + rows) + lo_t
-        if isinstance(tf, int) and tf > 0:
-            table = cont                      # pl > 0 past the 1st frame
-        else:
-            table = jnp.where(first_chunk & (tf == 0), sc + lo_t, cont)
-
-        # Best parent per state: sublane tree, ties -> lowest w
-        # (lexicographic — a plain >= is only bracket-local).
-        vals, pars = table, sub_iota2
-        w = W8
-        while w > 1:
-            h = w // 2
-            lv, rv = vals[:h], vals[h:w]
-            lp_, rp_ = pars[:h], pars[h:w]
-            take = (lv > rv) | ((lv == rv) & (lp_ <= rp_))
-            vals = jnp.where(take, lv, rv)
-            pars = jnp.where(take, lp_, rp_)
-            w = h
-        bps = vals[0:1]                        # (1, Sl)
-        pps = pars[0:1]                        # (1, Sl)
-
-        # Top-W states by RANK, matching ``lax.top_k`` exactly
-        # (descending values, ties -> lowest state index): state j lands
-        # in slot ``rank[j]`` where rank counts the states that beat it.
-        # One pairwise-compare block plus exact one-hot/0-1 MXU matmuls
-        # replaces W sequential max-extraction rounds — the extraction
-        # was ~80% of this kernel's runtime (measured on v5e).
-        bps_col = _dot(eye_sp, bps, (((1,), (1,))))        # (Sp, 1) exact
-        beats = elig_col & (
-            (~elig_row)
-            | (bps_col > bps)
-            | ((bps_col == bps) & i_lt_j)
-        )
-        rank = _dot(ones_sp, beats.astype(jnp.float32),
-                    (((1,), (0,))))                        # (1, Sl) exact
-        oh_n = ((rank == iota_w) & elig_row & real_rows_b).astype(
-            jnp.float32
-        )                                                  # (W8, Sl)
-        # Exact one-hot picks: the dot sums exactly one term per row.
-        oh_sp = jax.lax.slice_in_dim(oh_n, 0, Sp, axis=1)  # (W8, Sp)
-        sc_n = _dot(oh_sp, bps_col, (((1,), (0,))))        # (W8, 1)
-        pv_n = jnp.max(pps * oh_n, axis=1, keepdims=True)  # (W8, 1)
-        # Rows beyond the true beam width stay -inf (their zero dot
-        # would otherwise outrank real negative scores).
-        sc_n = jnp.where(real_rows, sc_n, neg_inf)
-
-        # Record (parent slot, decoded state) per beam slot as lane
-        # rows — the full path history is NOT touched per frame (the
-        # old per-frame parent-select + roll over (W8, Hp) was ~60% of
-        # this kernel's runtime at H=1000); one backtrace after the
-        # frame loop reconstructs the chunk's paths.
-        svals = jnp.max(oh_n * iota_l, axis=1, keepdims=True)
-        pv_tab[pl.ds(tf, 1), :] = _to_lane_row(pv_n)
-        sv_tab[pl.ds(tf, 1), :] = _to_lane_row(svals)
-
-        valid = tf < nv
-        sc = jnp.where(valid, sc_n, sc)
-        oh = jnp.where(valid, oh_n, oh)
-        return (sc, oh)
-
-    def backtrace():
-        """Lineage reconstruction, newest frame first. ``cur[w]``
-        one-hot-encodes the slot that final hypothesis ``w`` occupied
-        at the frame being visited: frame t's decoded state for hyp w
-        is ``sv_t[slot_w(t)]`` (slots rerank every frame, so the
-        slot-major table must be remapped), then
-        ``slot_w(t-1) = pv_t[slot_w(t)]``. After the loop ``cur`` maps
-        final hypotheses to their START-of-chunk ancestors. Each step
-        is a few (W8, W8)-tile ops — the per-frame work this replaces
-        scaled with the history length instead."""
-        def back(i, cur):
-            t = t_pad - 1 - i
-            cur8 = jax.lax.slice_in_dim(cur, 0, W8, axis=1)
-            sv_col = _to_sublane_col(sv_tab[pl.ds(t, 1), :])  # (W8, 1)
-            st_w = jax.lax.dot_general(
-                cur8, sv_col, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (W8, 1): state of hyp w at frame t (exact one-hot pick)
-            st_out[pl.ds(t, 1), :] = _to_lane_row(st_w)
-            pv_col = _to_sublane_col(pv_tab[pl.ds(t, 1), :])
-            # pmat[s, p] = (parent of slot s == p): exact one-hot.
-            pmat = (pv_col == iota_lane).astype(jnp.float32)
-            nxt = jax.lax.dot_general(
-                cur8, pmat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (W8, LANES), exact: one term per row
-            return jnp.where(t < nv, nxt, cur)
-
-        cur0 = eye_wl  # slot w holds hypothesis w at chunk end
-        return _frame_loop(0, t_pad, back, cur0)
-
-    carry0 = (sc_ref[:, 0:1], oh_ref[:, :])
-    sc, oh = _frame_loop(0, t_pad, step, carry0)
-    sc_out[:, :] = jnp.broadcast_to(sc, (W8, LANES))
-    oh_out[:, :] = oh
-    ps_out[:, :] = backtrace()
-
-
-@jax.jit
-def pallas_beam_chunk(
-    log_a: jax.Array,
-    log_obs: jax.Array,
-    n_valid: jax.Array,
-    carry,
-):
-    """The ``streaming._beam_step`` scan as one Pallas program (same
-    carry in/out, bit-identical to the XLA scan, including
-    ``lax.top_k`` ordering and tie-breaks)."""
-    T, S = log_obs.shape
-    scores, last_states, paths, path_len = carry
-    W, H = paths.shape
-    Sl = _ceil_to(S, LANES)
-    Tp = _ceil_to(T, SUBLANES)
-    W8 = _ceil_to(W, SUBLANES)
-
-    la = _pad_to(_pad_to(log_a.astype(jnp.float32), Sl, 0, _NEG), Sl, 1, _NEG)
-    lo = _pad_to(
-        _pad_to(log_obs.astype(jnp.float32), Sl, 1, _NEG), Tp, 0, 0.0
-    )
-    nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
-    pl0 = jnp.asarray(path_len, jnp.int32).reshape(1, 1)
-    # Pad hypotheses with -inf scores so they never enter the beam
-    # (matching the XLA step, where only W hypotheses exist at all).
-    sc_in = jnp.broadcast_to(
-        _pad_to(scores.astype(jnp.float32), W8, 0, -jnp.inf)[:, None],
-        (W8, LANES),
-    )
-    oh_in = jax.nn.one_hot(
-        _pad_to(last_states.astype(jnp.int32), W8, 0, 0), Sl,
-        dtype=jnp.float32,
-    )
-
-    sc, oh, st_tab, psel = pl.pallas_call(
-        functools.partial(
-            _beam_kernel, t_pad=Tp, beam_w=W, num_states=S
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((W8, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((W8, Sl), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((W8, LANES), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Tp, LANES), jnp.float32),
-            pltpu.VMEM((Tp, LANES), jnp.float32),
-        ],
-        interpret=_use_interpret(),
-    )(la, lo, nv, pl0, sc_in, oh_in)
-
-    new_scores = sc[:W, 0]
-    new_states = jnp.argmax(oh[:W], axis=1).astype(jnp.int32)
-
-    # History merge (XLA side — a few (W, H) ops per CHUNK, vs the old
-    # per-FRAME (W, Hp) select+roll inside the kernel): each surviving
-    # hypothesis inherits its start-of-chunk ancestor's history,
-    # shifted left by n_valid, with the chunk's decoded states (from
-    # the in-kernel backtrace) in the freed tail lanes.
-    nv_s = jnp.asarray(n_valid, jnp.int32)
-    parent = psel[:W, :W]                       # (W, W) one-hot, exact
-    inherited = jnp.einsum(
-        "wp,ph->wh", parent, paths.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    rolled = jnp.roll(inherited, -nv_s, axis=1)
-    # Chunk states: frame t of this chunk belongs at lane H - nv + t.
-    chunk = st_tab[:, :W].T                     # (W, Tp) frame-major
-    if Tp <= H:
-        # frame t sits at lane H - Tp + t; right-roll by Tp - nv.
-        chunk = jnp.pad(chunk, ((0, 0), (H - Tp, 0)))
-        chunk = jnp.roll(chunk, Tp - nv_s, axis=1)
-    else:
-        # Chunk longer than the history: keep frames [s, s+H),
-        # s = max(0, nv - H) — exactly the ones that can land in-window.
-        s = jnp.maximum(0, nv_s - H)
-        chunk = jax.lax.dynamic_slice(chunk, (0, s), (W, H))
-        chunk = jnp.roll(chunk, H - nv_s + s, axis=1)
-    lane = jnp.arange(H)[None, :]
-    new_paths = jnp.where(
-        lane >= H - nv_s, chunk, rolled
-    ).astype(jnp.int32)
-    # path_len evolves deterministically: +1 per valid frame, capped.
-    new_plen = jnp.minimum(
-        path_len + jnp.asarray(n_valid, path_len.dtype), H
-    )
-    return new_scores, new_states, new_paths, new_plen

@@ -7,11 +7,23 @@ import numpy as np
 import pytest
 
 from pytorch_hmm_tpu.ops.stream import (
-    pallas_beam_chunk,
     pallas_greedy_chunk,
     stream_chunk_supported,
 )
 from pytorch_hmm_tpu.streaming import _beam_step_xla, _greedy_step_xla
+
+
+def pallas_beam_chunk(la, lo, nv, carry):
+    """Single-stream beam via the N=1 multi-stream kernel — the
+    production dispatch path of ``streaming._beam_step``."""
+    from pytorch_hmm_tpu.ops.stream_multi import pallas_beam_chunk_multi
+
+    sc, ls, pt, pl_ = carry
+    nsc, nls, npt, npl = pallas_beam_chunk_multi(
+        la, lo[None], nv,
+        (sc[None], ls[None], pt[None], jnp.asarray(pl_, jnp.int32)[None]),
+    )
+    return nsc[0], nls[0], npt[0], npl[0]
 
 
 def _problem(T, S, seed):
