@@ -97,6 +97,15 @@ BENCH_MODELS = {
         serial_steps=160,
         smallk=True,
     ),
+    # 8 concurrent streams share the SAME 160-step chain (the stream
+    # axis vectorizes); the serial ceiling is one chunk's chain plus
+    # the end-of-chunk backtrace chain, same conservative caveat.
+    "multi_stream_8x_chunk_p50_s12_d80_beam": dict(
+        hbm_bytes=8 * (160 * 80 * 4 + 160 * 4),
+        mxu_flops=8 * 2 * 160 * 80 * 12,
+        serial_steps=2 * 160,
+        smallk=True,
+    ),
     # B=16 T=1000 S=12 H=256 NeuralHMM forward-backward. Three
     # sequential dispatches: the emission trunk+head (MXU), the fused
     # bidirectional FB kernel (ops/fbsum.py — BOTH chains interleave in
