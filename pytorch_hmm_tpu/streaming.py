@@ -669,6 +669,42 @@ class MultiStreamDecoder:
             ),
         )
 
+    # -- raw-audio serving: on-device framing for every stream ---------
+    def make_pcm_step(self, sample_rate=16000, n_fft=512, frame_len=400,
+                      hop=160, preemphasis=0.97, feature_dim=None):
+        """Whole-fleet audio→states: ``step(carry, pcm (N, F·hop))`` →
+        ``(carry, states (N, F), conf (N, F))`` as ONE device program —
+        the matmul-DFT frontend (``frontend.device_frames``) vmaps over
+        streams and feeds the multi-stream beam kernel. Returns
+        ``(step, carry0)``; the carry stacks per-stream framer tails on
+        top of :meth:`init_carry`'s beam state."""
+        from .frontend import device_frames, framing_tables
+
+        n_mels = feature_dim or self._w[0].shape[0]
+        tables = framing_tables(sample_rate, n_fft, frame_len, hop, n_mels)
+        lag = tables["lag"]
+        F = self.chunk_frames
+        tail0 = jnp.zeros((self.n, lag * hop + 1), jnp.float32)
+        carry0 = (tail0, self.init_carry())
+        use_kernel = _use_multi_kernel(
+            self.n, self.num_states, F, self.beam_width, self.history,
+        )
+        log_a, w = self._log_a, self._w
+
+        @functools.partial(jax.jit, static_argnames=())
+        def step(carry, pcm):
+            tails, beam = carry
+            tails, feats = jax.vmap(
+                lambda t, c: device_frames(t, c, tables, preemphasis)
+            )(tails, pcm)
+            beam, states, conf = _multi_step(
+                log_a, w, jnp.int32(F), beam, feats,
+                use_kernel=use_kernel,
+            )
+            return (tails, beam), states, conf
+
+        return step, carry0
+
 
 def _use_multi_kernel(n, s, t, w, h) -> bool:
     import os

@@ -88,3 +88,28 @@ def test_supported_bounds():
     assert multi_stream_supported(8, 12, 160, 8, 1000)
     assert not multi_stream_supported(200, 12, 160, 8, 1000)  # N cap
     assert not multi_stream_supported(8, 12, 160, 16, 1000)   # W cap
+
+
+def test_pcm_fleet_matches_single_stream(rng):
+    """Fleet audio→states must equal the single-stream fused PCM path
+    per stream (same frontend tables, same beam semantics)."""
+    from pytorch_hmm_tpu.frontend import make_pcm_decode_step
+
+    N, F = 3, 16
+    proc = StreamingHMMProcessor(
+        num_states=8, feature_dim=80, chunk_size=F, rngs=nnx.Rngs(0)
+    )
+    dec = MultiStreamDecoder(proc, n_streams=N, chunk_frames=F)
+    fleet_step, fleet_carry = dec.make_pcm_step()
+    single_step, single_carry0 = make_pcm_decode_step(proc, chunk_frames=F)
+    pcm = jnp.asarray(
+        rng.standard_normal((N, F * 160)).astype(np.float32)
+    )
+    singles = [single_carry0] * N
+    for _ in range(2):
+        fleet_carry, st, cf = fleet_step(fleet_carry, pcm)
+        for n in range(N):
+            singles[n], st_n, cf_n = single_step(singles[n], pcm[n])
+            np.testing.assert_array_equal(st[n], st_n)
+            np.testing.assert_allclose(cf[n], cf_n, atol=1e-5)
+        pcm = pcm * 0.9 + 0.1
