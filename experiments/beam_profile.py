@@ -160,7 +160,19 @@ def main():
     lo = _emit(chunk, *w)
     nvalid = jnp.int32(160)
 
-    from pytorch_hmm_tpu.ops.stream import pallas_beam_chunk
+    # The single-stream beam kernel was superseded by the multi-stream
+# kernel at N=1 (ops/stream_multi.py, r4); this shim keeps the probe
+# runnable against the shipping dispatch path.
+import jax.numpy as _jnp
+from pytorch_hmm_tpu.ops.stream_multi import pallas_beam_chunk_multi as _pbm
+
+
+def pallas_beam_chunk(la, lo, nv, carry):
+    sc, ls, pt, pl_ = carry
+    out = _pbm(la, lo[None], nv,
+               (sc[None], ls[None], pt[None],
+                _jnp.asarray(pl_, _jnp.int32)[None]))
+    return tuple(x[0] for x in out)
 
     full = make_variant(False, False)
     nopath = make_variant(True, False)
