@@ -81,6 +81,13 @@ BENCH_MODELS = {
         smallk=True,
     ),
     # B=32 T=1000 S=10 D=20 HSMM segment DP (transposed kernel).
+    # NOTE on the 0.68 fraction: a T-sweep (r4, 500/1000/2000 frames)
+    # shows the kernel scales at a flat 248 ns per frame-pair with ~1 µs
+    # intercept — zero amortizable overhead. The gap to the generic
+    # 100 ns small-K floor is the per-frame duration ring itself
+    # (Ds=32-slot lse/max trees = ~4 sublane tiles per step vs the
+    # plain trellis's one); the generic floor is kept as the ceiling so
+    # the row reports the honest distance to a ring-free recursion.
     "hsmm_decode_rtf_b32_T1000_s10_d20": dict(
         hbm_bytes=32e3 * 80 * 4 + 2 * 32e3 * 10 * 4 + 32e3 * 4,
         mxu_flops=2 * 32e3 * 80 * 10,
