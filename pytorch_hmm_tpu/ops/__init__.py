@@ -505,12 +505,22 @@ def auto_hsmm_posteriors(log_obs, log_a, log_pi, log_dur, lengths=None):
     from ..core.hsmm import hsmm_posteriors, hsmm_posteriors_from_tables
 
     if _hsmm_pallas_available(log_obs, log_dur):
-        log_alpha, lz = hsmm_smallk_forward(
-            log_obs, log_a, log_pi, log_dur, lengths
-        )
-        bstar, bstart = hsmm_smallk_backward(
-            log_obs, log_a, log_dur, lengths
-        )
+        if lengths is None:
+            # Both chains in one fused kernel pass (hsmm_smallk_fb;
+            # exact parity, 0.47 -> 0.43 ms — the ring-bound body
+            # limits the interleaving win; see the kernel's note).
+            from .hsmm_smallk import hsmm_smallk_fb
+
+            log_alpha, lz, bstar, bstart = hsmm_smallk_fb(
+                log_obs, log_a, log_pi, log_dur
+            )
+        else:
+            log_alpha, lz = hsmm_smallk_forward(
+                log_obs, log_a, log_pi, log_dur, lengths
+            )
+            bstar, bstart = hsmm_smallk_backward(
+                log_obs, log_a, log_dur, lengths
+            )
         return hsmm_posteriors_from_tables(
             log_a, log_pi, log_alpha, bstar, bstart, lz, lengths
         )

@@ -202,3 +202,23 @@ def test_hsmm_sum_kernels_ragged():
         np.testing.assert_allclose(
             np.asarray(bt_k)[b, :L], np.asarray(bt_c)[b, :L], atol=5e-4
         )
+
+
+def test_hsmm_fused_fb_matches_separate_kernels(rng):
+    """hsmm_smallk_fb (one fused pass) vs the separate fwd/bwd kernels
+    — the auto_hsmm_posteriors dispatch path for unragged batches."""
+    from pytorch_hmm_tpu.ops.hsmm_smallk import (
+        hsmm_smallk_backward, hsmm_smallk_fb, hsmm_smallk_forward)
+
+    B, T, S, D = 3, 190, 7, 9
+    lo = jnp.asarray(rng.normal(size=(B, T, S)), jnp.float32)
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(S), size=S)), jnp.float32)
+    lpi = jnp.full((S,), -np.log(float(S)))
+    ld = jnp.asarray(np.log(rng.dirichlet(np.ones(D), size=S)), jnp.float32)
+    a1, z1, bs1, bt1 = hsmm_smallk_fb(lo, la, lpi, ld)
+    a0, z0 = hsmm_smallk_forward(lo, la, lpi, ld)
+    bs0, bt0 = hsmm_smallk_backward(lo, la, ld)
+    np.testing.assert_allclose(a1, a0, atol=2e-4)
+    np.testing.assert_allclose(z1, z0, atol=2e-4)
+    np.testing.assert_allclose(bs1, bs0, atol=2e-4)
+    np.testing.assert_allclose(bt1, bt0, atol=2e-4)
