@@ -42,6 +42,18 @@ TRIALS = 7
 TARGET_CHAIN_SEC = 0.05   # R-chain device time floor (see measure())
 MAX_REPS = 4096
 
+# Session drift calibration (VERDICT r4 item 5): the long-context row
+# drifted 29 -> 33.7 ms across sessions with "chip drift" as the only
+# explanation on record. Every bench run now times a PINNED kernel — a
+# fixed-shape pallas_forward_prob call that bypasses the auto dispatch,
+# so dispatch/kernel changes in later rounds cannot alter it — and
+# reports session_scale = measured / reference on every row. A row that
+# moved with session_scale is chip/session drift; a row that moved
+# against it is a code change. Reference value measured on v5e-1 in the
+# r5 session (p50 of 7 device_time trials: 4.224, min 4.198, max 4.309).
+_CAL_REF_MS = 4.224
+_CAL_SHAPE = (32, 16384, 64)   # (B, T, K) — never change (see above)
+
 PROBE_WAIT_SEC = 1500
 PROBE_INTERVAL_SEC = 60
 
@@ -150,6 +162,39 @@ def main():
             "rejected": rejected,
         }
 
+    # ---- session calibration (pinned kernel; see _CAL_REF_MS) ----
+    session_scale = None
+    try:
+        from pytorch_hmm_tpu.ops import pallas_forward_prob
+
+        Bc, Tc, Kc = _CAL_SHAPE
+        cal_obs = jax.random.normal(
+            jax.random.PRNGKey(42), (Bc, Tc, Kc), jnp.float32
+        )
+        cal_la = jax.nn.log_softmax(
+            jax.random.normal(jax.random.PRNGKey(43), (Kc, Kc)), axis=-1
+        )
+        cal_pi = jnp.full((Kc,), -jnp.log(float(Kc)))
+
+        def cal_fn(x):
+            _, lz = pallas_forward_prob(
+                x, cal_la, cal_pi, precision=jax.lax.Precision.HIGHEST
+            )
+            return jnp.sum(lz)
+
+        cal = measure(cal_fn, cal_obs, 8)
+        session_scale = round(cal["p50"] * 1e3 / _CAL_REF_MS, 3)
+        print(
+            f"session calibration: pinned kernel p50="
+            f"{cal['p50']*1e3:.3f} ms vs reference {_CAL_REF_MS} ms -> "
+            f"session_scale={session_scale} (rows are annotated; a row "
+            f"moving WITH this factor is chip/session drift)",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"session calibration failed: {e!r}", file=sys.stderr,
+              flush=True)
+
     def emit(name, lat, audio_sec, ref_latency_sec, ref_rtf_base=None):
         rtf = audio_sec / lat["p50"]
         if ref_rtf_base is None:
@@ -169,6 +214,8 @@ def main():
                 "rejected": lat.get("rejected", 0),
             },
         }
+        if session_scale is not None:
+            line["session_scale"] = session_scale
         try:
             from pytorch_hmm_tpu.roofline import audit
 
@@ -281,7 +328,7 @@ def main():
         )
 
         def e2e_step(x):
-            _, states, conf = pcm_step(pcm_carry, x)
+            _, states, conf, _nv = pcm_step(pcm_carry, x)
             return jnp.sum(conf) + jnp.sum(states)
 
         lat_e2e = measure(e2e_step, pcm_chunk, 96)

@@ -68,10 +68,10 @@ def fused_device_pipeline(audio, sample_rate, n_mels, chunk_frames, quick):
     while pos + span <= len(audio):
         chunk = jnp.asarray(audio[pos:pos + span])
         t0 = time.perf_counter()
-        carry, states, conf = step(carry, chunk)
+        carry, states, conf, n_valid = step(carry, chunk)
         states.block_until_ready()
         lat_ms.append((time.perf_counter() - t0) * 1e3)
-        states_out.append(np.asarray(states))
+        states_out.append(np.asarray(states)[: int(n_valid)])
         pos += span
     states = np.concatenate(states_out) if states_out else np.zeros(0, int)
     lat = np.sort(np.asarray(lat_ms))

@@ -235,11 +235,18 @@ def make_pcm_decode_step(
 
     Returns ``(step, carry0)`` where ``step(carry, pcm_chunk)`` takes
     ``(F·hop,)`` raw samples and returns ``(carry, states (F,), conf
-    (F,))`` — the audio-in→states-out path of the streaming demo as a
-    single TPU dispatch (no host framer, no per-stage round trips).
-    ``processor`` is a :class:`~pytorch_hmm_tpu.streaming.
-    StreamingHMMProcessor` (its emission MLP + transitions + beam carry
-    shapes are captured by value at call time).
+    (F,), n_valid)`` — the audio-in→states-out path of the streaming
+    demo as a single TPU dispatch (no host framer, no per-stage round
+    trips). Only ``states[:n_valid]`` are meaningful: the first chunk
+    yields ``n_valid = F − lag`` states (``lag`` = 2 at the 400/160
+    default) because the ``lag`` leading windows would start before the
+    stream and are dropped — exactly the frame grid
+    :class:`DeviceFramer` emits, so decoded state ``j`` always covers
+    the global samples ``[j·hop, j·hop + frame_len)``. Every later
+    chunk has ``n_valid = F``. ``processor`` is a
+    :class:`~pytorch_hmm_tpu.streaming.StreamingHMMProcessor` (its
+    emission MLP + transitions + beam carry shapes are captured by
+    value at call time).
     """
     from .streaming import _beam_step, _emit, _PAD_GRANULE
 
@@ -259,19 +266,25 @@ def make_pcm_decode_step(
     )
     lag = tables["lag"]
     tail0 = jnp.zeros((lag * hop + 1,), jnp.float32)
-    carry0 = (tail0, beam0)
+    carry0 = (tail0, jnp.int32(lag), beam0)
     pad = -(-chunk_frames // _PAD_GRANULE) * _PAD_GRANULE - chunk_frames
 
     @jax.jit
     def step(carry, pcm_chunk):
-        tail, beam = carry
+        tail, skip, beam = carry
         tail, feats = device_frames(tail, pcm_chunk, tables, preemphasis)
+        # Drop the pre-stream windows of the first chunk: roll the valid
+        # frames to the front and decode only n_valid of them, so the
+        # beam history never sees the zero-tail synthetics.
+        feats = jnp.roll(feats, -skip, axis=0)
+        n_valid = jnp.int32(chunk_frames) - skip
         if pad:
             feats = jnp.pad(feats, ((0, pad), (0, 0)))
         lo = _emit(feats, *w)
-        beam, states, conf = _beam_step(
-            log_a, lo, jnp.int32(chunk_frames), beam
+        beam, states, conf = _beam_step(log_a, lo, n_valid, beam)
+        return (
+            (tail, jnp.zeros_like(skip), beam),
+            states[:chunk_frames], conf[:chunk_frames], n_valid,
         )
-        return (tail, beam), states[:chunk_frames], conf[:chunk_frames]
 
     return step, carry0

@@ -93,36 +93,52 @@ def pallas_available(num_states: int) -> bool:
 # kernel wins from T≈1024 on (measured at K=64 B=32 on v5e: 0.24 vs
 # 0.18 ms at T=1024, 1.44× by T=131072; even at T=512 both are ~0.11).
 _PROB_FWD_MIN_T = 1024
+# When log_a is a tracer its finiteness can't be inspected, so the
+# 1024..4096 window keeps the (envelope-free) log-space kernel and the
+# prob kernel only takes over where its win is decisive. Verified-finite
+# transitions still switch at _PROB_FWD_MIN_T.
+_PROB_FWD_UNVERIFIED_MIN_T = 4096
 
 
-def _prob_kernel_safe(log_a) -> bool:
-    """Envelope check for the prob-space kernels.
+def _prob_kernel_safe(log_a):
+    """Envelope check for the prob-space kernels: ``True`` (finite,
+    safe), ``False`` (has -inf entries, unsafe), or ``None`` (traced —
+    cannot be established).
 
-    Their scaled carry q rescales once per rs block; a sustained
-    per-frame shrink beyond ~e^-87/rs within one block (possible only
-    when hard-zero transitions force all reachable states onto
-    strongly mismatched emissions) underflows q to exact zeros, and the
-    max(q, 1e-37) rescale floor then leaves alpha silently wrong for
-    the rest of the sequence. Finite transition rows cannot sustain
-    that shrink (the per-frame max-shift bounds e_t at 1 and every
-    state stays reachable), so the check is: when log_a is a concrete
-    array containing -inf entries, fall back to the log-space kernel,
-    which has no such envelope. Traced log_a (inside a caller's jit)
-    cannot be inspected without changing trace semantics — those calls
-    keep the prob kernel and inherit the documented envelope (finite
-    transition rows are safe; hard-zero transitions combined with
+    The prob kernels' scaled carry q rescales once per rs block; a
+    sustained per-frame shrink beyond ~e^-87/rs within one block
+    (possible only when hard-zero transitions force all reachable
+    states onto strongly mismatched emissions) underflows q to exact
+    zeros, and the max(q, 1e-37) rescale floor then leaves alpha
+    silently wrong for the rest of the sequence. Finite transition rows
+    cannot sustain that shrink (the per-frame max-shift bounds e_t at 1
+    and every state stays reachable). Traced log_a (inside a caller's
+    jit — the dominant usage) cannot be inspected without changing
+    trace semantics; ``_prob_ok`` then keeps the log-space kernel below
+    ``_PROB_FWD_UNVERIFIED_MIN_T`` and accepts the documented envelope
+    only in the long-context regime where the prob kernel's win is
+    decisive (finite rows are safe; hard-zero transitions combined with
     emissions mismatched by more than ~e^-87 per rs block are not).
     """
     if isinstance(log_a, jax.core.Tracer):
-        return True
+        return None
     # log_a is concrete — inspect it with NumPy. A jnp.isfinite here
     # would be STAGED into any caller's active trace (ops on concrete
-    # arrays inside jit are traced, not folded) and the bool() below
+    # arrays inside jit are traced, not folded) and a bool() of it
     # would raise TracerBoolConversionError; np.asarray on a concrete
     # array is a plain fetch and happens once per compilation.
     import numpy as np
 
     return bool(np.isfinite(np.asarray(log_a)).all())
+
+
+def _prob_ok(log_a, T: int) -> bool:
+    """Static prob-kernel gate at sequence length ``T`` (see
+    ``_prob_kernel_safe``)."""
+    safe = _prob_kernel_safe(log_a)
+    if safe is None:
+        return T >= _PROB_FWD_UNVERIFIED_MIN_T
+    return safe
 
 
 def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None,
@@ -144,7 +160,7 @@ def _hmm_fwd_fast(log_obs, log_a, log_pi, lengths=None,
         return hsmm_smallk_forward(log_obs, log_a, log_pi, ld1)
     if (
         lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES
-        and _prob_kernel_safe(log_a)
+        and _prob_ok(log_a, T)
     ):
         from ..precision import mixed_precision_enabled
 
@@ -168,7 +184,7 @@ def _hmm_bwd_fast(log_obs, log_a, lengths=None, posterior_grade=False):
         return hsmm_smallk_backward(log_obs, log_a, ld1)[0]
     if (
         lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES
-        and _prob_kernel_safe(log_a)
+        and _prob_ok(log_a, T)
     ):
         from ..precision import mixed_precision_enabled
 
@@ -203,7 +219,7 @@ def _ll_fwd(log_obs, log_a, log_pi):
     if (
         not hsmm_smallk_supported(K, 1, B)
         and T >= _PROB_FWD_MIN_T and K <= LANES
-        and _prob_kernel_safe(log_a)
+        and _prob_ok(log_a, T)
     ):
         # The VJP ALWAYS runs a backward right after this, so in the
         # long-context regime both chains come from one fused kernel
@@ -331,7 +347,7 @@ def auto_forward_backward(
             )
         elif (
             lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES
-            and _prob_kernel_safe(log_a)
+            and _prob_ok(log_a, T)
         ):
             # Long-context twin: both prob-space chains fused in one
             # kernel pass (ops/scan.py pallas_fb_prob). Posteriors are
@@ -504,16 +520,29 @@ def auto_hsmm_posteriors(log_obs, log_a, log_pi, log_dur, lengths=None):
     TPU, XLA scans elsewhere. See ``core.hsmm_posteriors``."""
     from ..core.hsmm import hsmm_posteriors, hsmm_posteriors_from_tables
 
+    from .hsmm_smallk import hsmm_smallk_fb_supported
+
     if _hsmm_pallas_available(log_obs, log_dur):
-        if lengths is None:
+        B, _, S = log_obs.shape
+        if lengths is None and hsmm_smallk_fb_supported(
+            S, log_dur.shape[-1], B
+        ):
             # Both chains in one fused kernel pass (hsmm_smallk_fb;
             # exact parity, 0.47 -> 0.43 ms — the ring-bound body
             # limits the interleaving win; see the kernel's note).
+            # The fused kernel's third duration ring needs its own VMEM
+            # gate (ADVICE r4); near-budget shapes use the separate
+            # kernels below.
             from .hsmm_smallk import hsmm_smallk_fb
 
             log_alpha, lz, bstar, bstart = hsmm_smallk_fb(
                 log_obs, log_a, log_pi, log_dur
             )
+        elif lengths is None:
+            log_alpha, lz = hsmm_smallk_forward(
+                log_obs, log_a, log_pi, log_dur
+            )
+            bstar, bstart = hsmm_smallk_backward(log_obs, log_a, log_dur)
         else:
             log_alpha, lz = hsmm_smallk_forward(
                 log_obs, log_a, log_pi, log_dur, lengths

@@ -54,6 +54,7 @@ __all__ = [
     "hsmm_smallk_backward",
     "hsmm_smallk_fb",
     "hsmm_smallk_supported",
+    "hsmm_smallk_fb_supported",
 ]
 
 # The (Ss, Ss, Bp) predecessor tree stops being cheap beyond this.
@@ -84,6 +85,25 @@ def hsmm_smallk_supported(
     Ss, Ds = _k_pad(num_states), _d_pad(max_duration)
     Bp = _ceil_to(batch, LANES)
     vmem = (3 * 2 * _T_CHUNK + 2 * Ds) * Ss * Bp * 4
+    return vmem <= _VMEM_BUDGET
+
+
+def hsmm_smallk_fb_supported(
+    num_states: int, max_duration: int, batch: int
+) -> bool:
+    """VMEM gate for the FUSED forward+backward kernel
+    (:func:`hsmm_smallk_fb`). It allocates three double-buffered
+    T-chunk streams (lof/lob/bt) plus THREE (Ds, Ss, Bp) duration rings
+    (mu, cf, w) — one ring more than the separate kernels counted by
+    :func:`hsmm_smallk_supported` — so shapes near the budget boundary
+    can pass the generic gate yet exceed the fused kernel's envelope
+    (ADVICE r4). Callers should fall back to the separate
+    forward/backward kernels when this returns False."""
+    if not hsmm_smallk_supported(num_states, max_duration, batch):
+        return False
+    Ss, Ds = _k_pad(num_states), _d_pad(max_duration)
+    Bp = _ceil_to(batch, LANES)
+    vmem = (3 * 2 * _T_CHUNK + 3 * Ds) * Ss * Bp * 4
     return vmem <= _VMEM_BUDGET
 
 
@@ -1172,10 +1192,12 @@ def hsmm_smallk_fb(
     only."""
     B, T, S = log_obs.shape
     D = log_dur.shape[-1]
-    if not hsmm_smallk_supported(S, D, B):
+    if not hsmm_smallk_fb_supported(S, D, B):
         raise ValueError(
             f"hsmm_smallk_fb requires S <= {_MAX_S}, D <= {_MAX_D},"
-            f" B <= {_MAX_B} (got S={S}, D={D}, B={B})"
+            f" B <= {_MAX_B} and the fused kernel's 3-ring VMEM "
+            f"envelope (got S={S}, D={D}, B={B}); use the separate "
+            f"hsmm_smallk_forward/backward kernels instead"
         )
     Ss = _k_pad(S)
     Ds = _d_pad(D)

@@ -673,11 +673,17 @@ class MultiStreamDecoder:
     def make_pcm_step(self, sample_rate=16000, n_fft=512, frame_len=400,
                       hop=160, preemphasis=0.97, feature_dim=None):
         """Whole-fleet audio→states: ``step(carry, pcm (N, F·hop))`` →
-        ``(carry, states (N, F), conf (N, F))`` as ONE device program —
-        the matmul-DFT frontend (``frontend.device_frames``) vmaps over
-        streams and feeds the multi-stream beam kernel. Returns
-        ``(step, carry0)``; the carry stacks per-stream framer tails on
-        top of :meth:`init_carry`'s beam state."""
+        ``(carry, states (N, F), conf (N, F), n_valid)`` as ONE device
+        program — the matmul-DFT frontend (``frontend.device_frames``)
+        vmaps over streams and feeds the multi-stream beam kernel.
+        Returns ``(step, carry0)``; the carry stacks per-stream framer
+        tails on top of :meth:`init_carry`'s beam state. Only
+        ``states[:, :n_valid]`` are meaningful: the first chunk yields
+        ``n_valid = F − lag`` states (the ``lag`` leading windows would
+        start before the stream and are dropped, matching the
+        ``DeviceFramer`` frame grid); later chunks have ``n_valid=F``.
+        Streams share one skip counter (equal-cadence fleets start
+        together; ``reset_stream`` resets beam state only)."""
         from .frontend import device_frames, framing_tables
 
         n_mels = feature_dim or self._w[0].shape[0]
@@ -685,7 +691,7 @@ class MultiStreamDecoder:
         lag = tables["lag"]
         F = self.chunk_frames
         tail0 = jnp.zeros((self.n, lag * hop + 1), jnp.float32)
-        carry0 = (tail0, self.init_carry())
+        carry0 = (tail0, jnp.int32(lag), self.init_carry())
         use_kernel = _use_multi_kernel(
             self.n, self.num_states, F, self.beam_width, self.history,
         )
@@ -693,15 +699,19 @@ class MultiStreamDecoder:
 
         @functools.partial(jax.jit, static_argnames=())
         def step(carry, pcm):
-            tails, beam = carry
+            tails, skip, beam = carry
             tails, feats = jax.vmap(
                 lambda t, c: device_frames(t, c, tables, preemphasis)
             )(tails, pcm)
+            # Drop the first chunk's pre-stream windows (see
+            # frontend.make_pcm_decode_step).
+            feats = jnp.roll(feats, -skip, axis=1)
+            n_valid = jnp.int32(F) - skip
             beam, states, conf = _multi_step(
-                log_a, w, jnp.int32(F), beam, feats,
+                log_a, w, n_valid, beam, feats,
                 use_kernel=use_kernel,
             )
-            return (tails, beam), states, conf
+            return (tails, jnp.zeros_like(skip), beam), states, conf, n_valid
 
         return step, carry0
 

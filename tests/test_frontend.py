@@ -83,9 +83,13 @@ def test_pcm_decode_step_runs_and_matches_feature_path():
     rng = np.random.default_rng(0)
     pcm = rng.standard_normal(160 * 160 * 2).astype(np.float32)
 
-    # Reference: frame on device separately, then run the same beam step.
+    # Reference: frame on device separately (the DeviceFramer drops the
+    # lag pre-stream windows — the documented frame grid), then run the
+    # same beam step on the exact frames it emits. The fused step must
+    # land on the SAME grid: its first chunk yields n_valid = F - lag
+    # states for global frames 0..F-lag-1.
     framer = DeviceFramer(chunk_frames=160)
-    framer._skip = 0  # keep frame count aligned with the fused step
+    lag = framer.tables["lag"]
     w = (
         proc.emission_hidden.kernel[...], proc.emission_hidden.bias[...],
         proc.emission_out.kernel[...], proc.emission_out.bias[...],
@@ -96,18 +100,23 @@ def test_pcm_decode_step_runs_and_matches_feature_path():
 
     for k in range(2):
         chunk = jnp.asarray(pcm[k * 160 * 160 : (k + 1) * 160 * 160])
-        carry, states, conf = step(carry, chunk)
+        carry, states, conf, n_valid = step(carry, chunk)
+        expect_valid = 160 - (lag if k == 0 else 0)
+        assert int(n_valid) == expect_valid
 
         framer.push(np.asarray(chunk))
-        feats = jnp.asarray(framer.pop())
-        feats = jnp.pad(feats, ((0, 192 - 160), (0, 0)))
+        feats = jnp.asarray(framer.pop())          # (expect_valid, 80)
+        assert feats.shape[0] == expect_valid
+        feats = jnp.pad(feats, ((0, 192 - expect_valid), (0, 0)))
         lo = _emit(feats, *w)
         beam, ref_states, ref_conf = _beam_step(
-            log_a, lo, jnp.int32(160), beam
+            log_a, lo, jnp.int32(expect_valid), beam
         )
         np.testing.assert_array_equal(
-            np.asarray(states), np.asarray(ref_states)[:160]
+            np.asarray(states)[:expect_valid],
+            np.asarray(ref_states)[:expect_valid],
         )
         np.testing.assert_allclose(
-            np.asarray(conf), np.asarray(ref_conf)[:160], rtol=1e-5, atol=1e-5
+            np.asarray(conf)[:expect_valid],
+            np.asarray(ref_conf)[:expect_valid], rtol=1e-5, atol=1e-5,
         )

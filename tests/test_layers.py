@@ -174,6 +174,36 @@ class TestMixtureGaussianHMM:
         for a, b in zip(lls[:-1], lls[1:]):
             assert b >= a - 1e-3, lls
 
+    @pytest.mark.parametrize("cov", ["diag", "full"])
+    def test_prepared_decoder_matches_live_path(self, cov):
+        # ADVICE r4: the serving decoder's emission route differs from
+        # the live layer's (full covariance folds weights into log_norm
+        # via fullcov_mixture_log_probs_prepared), so drift there needs
+        # a dedicated parity check — states exact, scores close.
+        m = MixtureGaussianHMMLayer(
+            K, D, num_components=2, covariance_type=cov
+        )
+        obs = jax.random.normal(jax.random.PRNGKey(3), (B, T, D))
+        live_states, live_ll = m(obs, return_log_probs=True)
+        dec = m.make_decoder()
+        got_states, got_ll = dec(obs, return_log_probs=True)
+        np.testing.assert_array_equal(
+            np.asarray(got_states), np.asarray(live_states)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_ll), np.asarray(live_ll), rtol=2e-4, atol=5e-4
+        )
+        # Pytree round-trip (checkpoint / jit-argument use) preserves it.
+        leaves, treedef = jax.tree_util.tree_flatten(dec)
+        dec2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        rt_states, rt_ll = dec2(obs, return_log_probs=True)
+        np.testing.assert_array_equal(
+            np.asarray(rt_states), np.asarray(got_states)
+        )
+        np.testing.assert_allclose(
+            np.asarray(rt_ll), np.asarray(got_ll), rtol=1e-6
+        )
+
     def test_model_info(self):
         m = MixtureGaussianHMMLayer(K, D, num_components=3)
         info = m.get_model_info()

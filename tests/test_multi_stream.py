@@ -106,10 +106,12 @@ def test_pcm_fleet_matches_single_stream(rng):
         rng.standard_normal((N, F * 160)).astype(np.float32)
     )
     singles = [single_carry0] * N
-    for _ in range(2):
-        fleet_carry, st, cf = fleet_step(fleet_carry, pcm)
+    for k in range(2):
+        fleet_carry, st, cf, nv = fleet_step(fleet_carry, pcm)
         for n in range(N):
-            singles[n], st_n, cf_n = single_step(singles[n], pcm[n])
-            np.testing.assert_array_equal(st[n], st_n)
-            np.testing.assert_allclose(cf[n], cf_n, atol=1e-5)
+            singles[n], st_n, cf_n, nv_n = single_step(singles[n], pcm[n])
+            assert int(nv) == int(nv_n)
+            v = int(nv)
+            np.testing.assert_array_equal(st[n][:v], st_n[:v])
+            np.testing.assert_allclose(cf[n][:v], cf_n[:v], atol=1e-5)
         pcm = pcm * 0.9 + 0.1
