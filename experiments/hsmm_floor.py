@@ -53,7 +53,9 @@ def main():
     for T in Ts:
         lo = jax.random.normal(key, (B, T, S), jnp.float32)
         fn = lambda x: hsmm_smallk_viterbi(x, la_h, lpi, ld)[0]
-        t = sorted(device_time(fn, lo, reps=16) for _ in range(3))[1]
+        # ONE device_time call per shape (it min-filters 3 fetches per
+        # chain internally; a fresh call would re-jit its chain).
+        t = device_time(fn, lo, reps=16)
         hs_rows.append((T, t))
         print(f"  hsmm  T={T:5d}: {t*1e3:7.3f} ms "
               f"({t/T*1e9:6.1f} ns/frame-pair)", flush=True)
@@ -65,7 +67,7 @@ def main():
     for T in Ts:
         lo = jax.random.normal(key, (B, T, S), jnp.float32)
         fn = lambda x: smallk_viterbi(x, la, lpi)[0]
-        t = sorted(device_time(fn, lo, reps=16) for _ in range(3))[1]
+        t = device_time(fn, lo, reps=16)
         pl_rows.append((T, t))
         print(f"  plain T={T:5d}: {t*1e3:7.3f} ms "
               f"({t/T*1e9:6.1f} ns/frame-pair)", flush=True)

@@ -41,6 +41,7 @@ from .hsmm_smallk import (
 )
 from .smallk import smallk_supported, smallk_viterbi
 from .fbsum import fbsum_smallk, fbsum_supported
+from .bigk import bigk_log_likelihood, bigk_supported
 
 __all__ = [
     "pallas_forward",
@@ -65,6 +66,8 @@ __all__ = [
     "hsmm_smallk_supported",
     "smallk_viterbi",
     "smallk_supported",
+    "bigk_log_likelihood",
+    "bigk_supported",
     "pallas_available",
 ]
 
@@ -263,14 +266,25 @@ def _pallas_ll_masked(log_obs, log_a, log_pi, lengths):
 
 
 def _llm_fwd(log_obs, log_a, log_pi, lengths):
+    B, T, K = log_obs.shape
+    if T < _PROB_FWD_MIN_T and fbsum_supported(K, B):
+        # Ragged fused FB: the VJP always needs beta next, so both
+        # chains come from one interleaved kernel pass (per-lane
+        # freezes — VERDICT r4 item 7).
+        log_alpha, log_beta, lz = fbsum_smallk(
+            log_obs, log_a, log_pi, lengths
+        )
+        return lz, (log_obs, log_a, log_pi, lengths, log_alpha,
+                    log_beta, lz)
     log_alpha, lz = pallas_forward(log_obs, log_a, log_pi, lengths)
-    return lz, (log_obs, log_a, log_pi, lengths, log_alpha, lz)
+    return lz, (log_obs, log_a, log_pi, lengths, log_alpha, None, lz)
 
 
 def _llm_bwd(res, g):
-    log_obs, log_a, log_pi, lengths, log_alpha, lz = res
+    log_obs, log_a, log_pi, lengths, log_alpha, log_beta, lz = res
     B, T, K = log_obs.shape
-    log_beta = pallas_backward(log_obs, log_a, lengths)
+    if log_beta is None:
+        log_beta = pallas_backward(log_obs, log_a, lengths)
     log_gamma = log_alpha + log_beta - lz[:, None, None]
     gamma = jnp.exp(log_gamma)
     # Frames past each row's end carry frozen (garbage) posteriors — they
@@ -335,15 +349,13 @@ def auto_forward_backward(
         shift = jnp.max(log_obs, axis=-1, keepdims=True)   # (B, T, 1)
         lo_hat = log_obs - shift
         B, T, K = log_obs.shape
-        if (
-            lengths is None and T < _PROB_FWD_MIN_T
-            and fbsum_supported(K, B)
-        ):
+        if T < _PROB_FWD_MIN_T and fbsum_supported(K, B):
             # Bidirectional fused kernel: both chains in one program
             # (the independent recursions interleave, ~2x the two
-            # sequential launches — ops/fbsum.py).
+            # sequential launches — ops/fbsum.py). Ragged batches keep
+            # the fused win via per-lane freezes (VERDICT r4 item 7).
             alpha_hat, beta_hat, lz_hat = fbsum_smallk(
-                lo_hat, log_a, log_pi
+                lo_hat, log_a, log_pi, lengths
             )
         elif (
             lengths is None and T >= _PROB_FWD_MIN_T and K <= LANES

@@ -72,17 +72,21 @@ def _fbsum_kernel(
     la_ref,     # (Ss, Ss) VMEM — log_a[s', s], _NEG padded
     lat_ref,    # (Ss, Ss) VMEM — log_a transposed: lat[s', s] = la[s, s']
     lpi_ref,    # (Ss, Bp) VMEM
+    tt_ref,     # (1, Bp) VMEM int32 — per-lane true length
     al_hbm,     # (Tp, Ss, Bp) HBM out — log alpha
     bt_hbm,     # (Tp, Ss, Bp) HBM out — log beta
+    af_ref,     # (Ss, Bp) VMEM out — alpha at each lane's final frame
     *,
     t_chunk: int,
     t_total: int,
     t_true: int,
+    ragged: bool,
 ):
     Ss, Bp = lpi_ref.shape
     tc = t_chunk
     n_chunks = t_total // tc
     last_c = n_chunks - 1
+    tail = t_true - last_c * tc   # frames of the last chunk that are real
 
     def body(lof_buf, lob_buf, al_buf, bt_buf,
              inf_sems, inb_sems, alo_sems, bto_sems):
@@ -115,29 +119,47 @@ def _fbsum_kernel(
         la = la_ref[:, :]
         lat = lat_ref[:, :]
         lpi = lpi_ref[:, :]
+        # Per-lane lengths (ragged): one (1, Bp) int32 row, broadcast
+        # against the (Ss, Bp) tiles in the freeze compares below.
+        tt = tt_ref[:, :] if ragged else None
 
         def frames(c, slot, carry, n_frames: int):
             """Advance BOTH recursions ``n_frames`` steps in lockstep.
 
             ``mu`` carries lse(alpha_{t-1} + la) (lpi at t=0); ``bn``
             carries beta_{t+1} + lo_{t+1} (anything at t >= T-1, where
-            the freeze writes zeros).
+            the freeze writes zeros). Ragged mode additionally carries
+            ``afin`` (alpha captured at each lane's own final frame) and
+            freezes beta per LANE: for lane b, beta_t = 0 for
+            t >= len_b − 1 and alpha/beta past len_b are garbage the
+            callers mask — identical to the separate ragged kernels.
             """
             cb = last_c - c
 
             def step(tf, carry):
-                mu, bn = carry
+                if ragged:
+                    mu, bn, afin = carry
+                else:
+                    mu, bn = carry
                 # -- forward at global frame c·tc + tf ---------------
+                t_f = c * tc + tf
                 lo_f = lof_buf[slot, tf]
                 alpha = lo_f + mu
                 mu_n = _lse0(la[:, :, None] + alpha[:, None, :])
                 al_buf[slot, pl.ds(tf, 1)] = alpha[None]
+                if ragged:
+                    # Off the critical path: select, don't feed mu_n.
+                    afin = jnp.where(t_f == tt - 1, alpha, afin)
                 # -- backward at global frame cb·tc + (tc−1−tf) ------
                 tb_f = n_frames - 1 - tf
                 t_b = cb * tc + tb_f
                 lo_b = lob_buf[slot, tb_f]
                 bs = _lse0(lat[:, :, None] + bn[:, None, :])
-                if isinstance(t_b, int):
+                if ragged:
+                    # Per-lane freeze: one vector compare+select on the
+                    # chain (measured in the interleaved slack).
+                    beta = jnp.where(t_b >= tt - 1, 0.0, bs)
+                elif isinstance(t_b, int):
                     if t_b >= t_true - 1:
                         beta = jnp.zeros((Ss, Bp), jnp.float32)
                     else:
@@ -145,6 +167,8 @@ def _fbsum_kernel(
                 else:  # rolled interpret-mode loop: traced index
                     beta = jnp.where(t_b >= t_true - 1, 0.0, bs)
                 bt_buf[slot, pl.ds(tb_f, 1)] = beta[None]
+                if ragged:
+                    return mu_n, beta + lo_b, afin
                 return mu_n, beta + lo_b
 
             return _frame_loop(0, n_frames, step, carry)
@@ -170,8 +194,10 @@ def _fbsum_kernel(
             return carry
 
         carry0 = (lpi, jnp.zeros((Ss, Bp), jnp.float32))
+        if ragged:
+            carry0 = (*carry0, jnp.full((Ss, Bp), _NEG, jnp.float32))
         if n_chunks == 1:
-            run_chunk(0, 0, carry0, tc)
+            last = run_chunk(0, 0, carry0, tc)
         else:
             carry = run_chunk(0, 0, carry0, tc)
             if n_chunks > 2:
@@ -180,7 +206,14 @@ def _fbsum_kernel(
                     lambda r, cr: run_chunk(r, r, cr, tc),
                     carry,
                 )
-            run_chunk(last_c, last_c, carry, tc)
+            last = run_chunk(last_c, last_c, carry, tc)
+        if ragged:
+            af_ref[:, :] = last[2]
+        else:
+            # Unragged: every lane's final frame is t_true−1, still in
+            # the last chunk's alpha buffer — one static copy, no
+            # per-frame work.
+            af_ref[:, :] = al_buf[last_c % 2, tail - 1]
 
         @pl.when(n_chunks >= 2)
         def _():
@@ -208,18 +241,27 @@ def fbsum_smallk(
     log_obs: jax.Array,
     log_a: jax.Array,
     log_pi: jax.Array,
+    lengths=None,
     t_chunk: int = _T_CHUNK,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused HMM forward-backward: ``(log_alpha, log_beta, log_z)``,
     each ``(B, T, S)`` / ``(B,)``, equal to the two-kernel path within
-    lse-reassociation tolerance (~1e-5). Unragged only — ragged batches
-    stay on the separate kernels (the freeze index would be per-lane)."""
+    lse-reassociation tolerance (~1e-5).
+
+    Ragged batches pass ``lengths (B,)``: the kernel freezes beta per
+    LANE (``beta_t = 0`` for ``t >= len_b − 1``) and captures each
+    lane's final alpha for ``log_z``, so training batches with mixed
+    lengths keep the fused single-launch win (VERDICT r4 item 7).
+    Frames past a row's length carry garbage alpha/beta that callers
+    mask, matching the separate ragged kernels' convention.
+    """
     B, T, S = log_obs.shape
     if not fbsum_supported(S, B):
         raise ValueError(
             f"fbsum_smallk requires S <= {_MAX_S} and "
             f"4·2·{_T_CHUNK}·Ss·Bp·4 bytes of VMEM (got S={S}, B={B})"
         )
+    ragged = lengths is not None
     Ss = _k_pad(S)
     Bp = _ceil_to(B, LANES)
     Tp = _ceil_to(T, t_chunk)
@@ -235,13 +277,19 @@ def fbsum_smallk(
         _pad_to(log_pi.astype(jnp.float32), Ss, 0, _NEG)[:, None],
         (Ss, Bp),
     )
+    if ragged:
+        tt = _pad_to(lengths.astype(jnp.int32)[None, :], Bp, 1, T)
+    else:
+        tt = jnp.full((1, Bp), T, jnp.int32)
 
-    al, bt = pl.pallas_call(
+    al, bt, af = pl.pallas_call(
         functools.partial(
             _fbsum_kernel, t_chunk=t_chunk, t_total=Tp, t_true=T,
+            ragged=ragged,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -249,16 +297,19 @@ def fbsum_smallk(
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
             jax.ShapeDtypeStruct((Tp, Ss, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Ss, Bp), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(lo_t, la, lat, lpi)
+    )(lo_t, la, lat, lpi, tt)
 
     from ..core.semiring import logsumexp
 
     log_alpha = jnp.transpose(al[:T, :S, :B], (2, 0, 1))
     log_beta = jnp.transpose(bt[:T, :S, :B], (2, 0, 1))
-    return log_alpha, log_beta, logsumexp(log_alpha[:, -1], axis=-1)
+    log_z = logsumexp(af[:S, :B].T, axis=-1)
+    return log_alpha, log_beta, log_z

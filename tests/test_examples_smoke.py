@@ -59,6 +59,19 @@ class TestExampleMains:
         assert {"basic_hmm", "mixture_gaussian", "hsmm", "neural_hmm",
                 "streaming", "memory"} <= suites
 
+    def test_package_demo(self):
+        # The pytorch-hmm-tpu-demo console script's entry point.
+        from pytorch_hmm_tpu.demo import main
+
+        assert main() is True
+
+    def test_real_audio_anchor(self, capsys):
+        _load(EXAMPLES_DIR / "real_audio_anchor.py").main(quick=True)
+        out = capsys.readouterr().out
+        # Either a full run with the table or a clean skip when the
+        # environment has no bundled clips.
+        assert ("| aligner |" in out) or ("anchor skipped" in out)
+
     def test_scaling_bench(self, capsys):
         _load(EXAMPLES_DIR / "scaling_bench.py").main(
             ["--cpu", "--batch", "2", "--block", "16",

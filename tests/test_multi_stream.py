@@ -86,8 +86,34 @@ def test_reset_stream(rng):
 
 def test_supported_bounds():
     assert multi_stream_supported(8, 12, 160, 8, 1000)
+    # N=16 supported via bounded-unroll frame loops (VERDICT r4 item 8).
+    assert multi_stream_supported(16, 12, 160, 8, 1000)
     assert not multi_stream_supported(200, 12, 160, 8, 1000)  # N cap
     assert not multi_stream_supported(8, 12, 160, 16, 1000)   # W cap
+
+
+def test_multi_kernel_n16_matches_single_stream_xla(rng):
+    """The N > 8 bounded-unroll code path must stay bit-identical to
+    the per-stream XLA step."""
+    from pytorch_hmm_tpu.streaming import _beam_step_xla
+
+    N, S, T, W, H = 16, 12, 32, 8, 100
+    la = jnp.asarray(np.log(rng.dirichlet(np.ones(S), size=S)), jnp.float32)
+    nv = jnp.int32(T)
+    carry_m = (jnp.zeros((N, W)), jnp.zeros((N, W), jnp.int32),
+               jnp.zeros((N, W, H), jnp.int32), jnp.zeros((N,), jnp.int32))
+    carries = [(jnp.zeros((W,)), jnp.zeros((W,), jnp.int32),
+                jnp.zeros((W, H), jnp.int32), jnp.int32(0))
+               for _ in range(N)]
+    for _ in range(2):
+        los = jnp.asarray(rng.normal(size=(N, T, S)), jnp.float32)
+        sc, st, pt, plen = pallas_beam_chunk_multi(la, los, nv, carry_m)
+        carry_m = (sc, st, pt, plen)
+        for n in range(N):
+            cx, _, _ = _beam_step_xla(la, los[n], nv, carries[n])
+            carries[n] = cx
+            np.testing.assert_array_equal(st[n], cx[1])
+            np.testing.assert_array_equal(pt[n], cx[2])
 
 
 def test_pcm_fleet_matches_single_stream(rng):
