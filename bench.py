@@ -314,6 +314,23 @@ def main():
             N_s * 160 * FRAME_SEC, N_s * 1.1e-3,
         ))
 
+        # 16-stream fleet (r5: bounded-unroll frame loops lifted the
+        # N=8 VMEM cap — VERDICT r4 item 8).
+        N16 = 16
+        dec16 = MultiStreamDecoder(proc, n_streams=N16, chunk_frames=160)
+        carry16 = dec16.init_carry()
+        feats16 = jax.random.normal(key, (N16, 160, 80), jnp.float32)
+
+        def multi_step16(f):
+            _, states, conf = dec16.step(carry16, f)
+            return jnp.sum(conf) + jnp.sum(states)
+
+        lat = measure(multi_step16, feats16, 96)
+        lines.append(emit(
+            "multi_stream_16x_chunk_p50_s12_d80_beam", lat,
+            N16 * 160 * FRAME_SEC, N16 * 1.1e-3,
+        ))
+
         # ---- 9. End-to-end: raw PCM -> ON-DEVICE framing -> beam decode
         # in ONE jitted dispatch (VERDICT r3 item 4: the r3 path spent
         # 0.84 ms/chunk in the host C++ framer vs 0.095 ms of device

@@ -91,10 +91,12 @@ def _floor_kernel(
         if variant == "A":
             # Dot-only closure: renormalized table rows feed the next
             # dot directly (no tree, no rank) — prices the dependent
-            # dot + add latency alone.
+            # dot + add latency alone. BOTH carries must genuinely
+            # evolve (sc := running max) or Mosaic dead-codes the loop
+            # (variant B's first draft "measured" 0 ns/frame that way).
             m = jnp.max(table, axis=2, keepdims=True)
             oh_n = (table == m).astype(jnp.float32)
-            return (m * 0.0 + sc, oh_n)
+            return (m, oh_n)
 
         vals, pars = table, jnp.broadcast_to(sub_iota, table.shape)
         w = W8
@@ -116,7 +118,7 @@ def _floor_kernel(
             oh_n = jnp.broadcast_to(
                 (bps == m).astype(jnp.float32), (N, W8, Sl)
             )
-            return (sc, oh_n)
+            return (jnp.broadcast_to(m, sc.shape), oh_n)
 
         beats = elig_col & (
             (~elig)
@@ -165,9 +167,10 @@ def _floor_kernel(
 
     carry0 = (sc_ref[:, :, 0:1], oh_ref[:, :, :])
     sc, oh = _frame_loop(0, t_pad, step, carry0)
+    # Consume BOTH chains so no variant can be dead-coded.
     out_ref[:, :, :] = jnp.broadcast_to(
         sc if sc.shape[-1] == 1 else sc[..., :1], (N, W8, LANES)
-    )
+    ) + jax.lax.slice_in_dim(oh, 0, LANES, axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("variant", "t_pad"))
@@ -204,9 +207,12 @@ def main():
     key = jax.random.PRNGKey(0)
     S = 12
     Ts = (256, 512, 1024)
+    ns = tuple(
+        int(a) for a in sys.argv[1:] if a.isdigit()
+    ) or (1, 8)
     print(f"beam chunk floor sweep (S={S}, W=8) on {jax.devices()[0]}",
           flush=True)
-    for N in (1, 8):
+    for N in ns:
         print(f"-- N={N} streams --", flush=True)
         slopes = {}
         for variant in ("A", "B", "C", "D", "E"):

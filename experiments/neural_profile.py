@@ -13,6 +13,15 @@ the real path in isolation so the gap is attributed, not guessed:
   4. exp outputs   — the three jnp.exp materializations of __call__
   5. full forward  — the whole m(o) (should ≈ 1 + 3 + 4)
 
+MEASUREMENT WARNING (r5): consume the FULL output of each piece
+(``jnp.sum(out)``) — a sliced consume like ``out[:, -1]`` lets XLA
+push the slice into frame-local producers or dead-code whole unrolled
+chunks, silently timing a fraction of the work (an unrolled-chunk
+emission variant "measured" 0.03 ms for 20 GFLOP this way — 3x the
+chip's peak). Pallas-call pieces resist this (opaque), XLA chains do
+not, so sliced consumes BIAS comparisons toward XLA. Validate any
+surprising number with a chain-length linearity sweep.
+
 Run on the real chip:  python experiments/neural_profile.py
 """
 
@@ -47,7 +56,7 @@ def main():
 
     def emission(o):
         m = nnx.merge(gd, st)
-        return jnp.sum(m.observation_model.log_probs(o)[:, -1])
+        return jnp.sum(m.observation_model.log_probs(o))
 
     lo = nnx.merge(gd, st).observation_model.log_probs(obs)
     la = jax.nn.log_softmax(
@@ -57,20 +66,20 @@ def main():
 
     def kernel_only(x):
         a, b, z = fbsum_smallk(x, la, lpi)
-        return jnp.sum(a[:, -1]) + jnp.sum(b[:, 0]) + jnp.sum(z)
+        return jnp.sum(a) + jnp.sum(b) + jnp.sum(z)
 
     def auto_fb(x):
         lg, a, b, z = auto_forward_backward(x, la, lpi)
-        return jnp.sum(lg[:, -1]) + jnp.sum(a[:, -1]) + jnp.sum(z)
+        return jnp.sum(lg) + jnp.sum(a) + jnp.sum(z)
 
     def exp_outputs(x):
-        return (jnp.sum(jnp.exp(x)[:, -1]) + jnp.sum(jnp.exp(x - 1.0)[:, 0])
-                + jnp.sum(jnp.exp(x + 1.0)[:, -1]))
+        return (jnp.sum(jnp.exp(x)) + jnp.sum(jnp.exp(x - 1.0))
+                + jnp.sum(jnp.exp(x + 1.0)))
 
     def full(o):
         m = nnx.merge(gd, st)
         gamma, alpha, beta = m(o)
-        return jnp.sum(gamma[:, -1]) + jnp.sum(alpha[:, -1])
+        return jnp.sum(gamma) + jnp.sum(alpha)
 
     print(f"NeuralHMM piece profile (B={B} T={T} S={S} H={H}) on "
           f"{jax.devices()[0]}", flush=True)

@@ -164,6 +164,12 @@ BENCH_MODELS = {
         serial_steps=2 * 160,
         smallk=True,
     ),
+    "multi_stream_16x_chunk_p50_s12_d80_beam": dict(
+        hbm_bytes=16 * (160 * 80 * 4 + 160 * 4),
+        mxu_flops=16 * 2 * 160 * 80 * 12,
+        serial_steps=2 * 160,
+        smallk=True,
+    ),
     # B=16 T=1000 S=12 H=256 NeuralHMM forward-backward. Three
     # sequential dispatches: the emission trunk+head (MXU), the fused
     # bidirectional FB kernel (ops/fbsum.py — BOTH chains interleave in
@@ -171,20 +177,31 @@ BENCH_MODELS = {
     # posterior conditioning/exp pass (HBM).
     "neural_hmm_forward_rtf_b16_T1000_s12_h256": dict(
         dispatches=[
-            dict(  # emission: trunk matmuls + expanded-quadratic head
-                # hbm counts the (B,T,D) obs read plus ~3 unavoidable
-                # intermediate passes of the head's elementwise prep
-                # (u, u·w, exp) that XLA cannot fuse into one consumer.
-                hbm_bytes=4 * 16e3 * 80 * 4 + 16e3 * 12 * 4,
-                mxu_flops=2 * 16e3 * (80 * 256 + 256 * 256 + 2 * 256 * 80),
+            dict(  # fused emission kernel (ops/emit_mlp.py): one obs
+                # read/score write; mxu counts the logical trunk at one
+                # bf16 pass PLUS the lane-padded (128-wide at S=12)
+                # three-pass compensated head dots — padding to the
+                # 128-lane grid is a hardware fact any kernel pays, and
+                # single-pass heads were measured 0.33 absolute off.
+                hbm_bytes=16e3 * 80 * 4 + 16e3 * 12 * 4,
+                mxu_flops=2 * 16e3 * (80 * 256 + 256 * 256 + 2 * 256 * 80)
+                + 3 * 3 * 2 * 16e3 * 128 * 128,
             ),
             dict(  # fused fb: alpha+beta in one interleaved chain
                 hbm_bytes=3 * 16e3 * 12 * 4,
                 serial_steps=1000,
                 smallk=True,
             ),
-            dict(  # shift/csh conditioning + gamma lse + 3 exp outputs
-                hbm_bytes=8 * 16e3 * 12 * 4,
+            dict(  # layout glue + conditioning + gamma/exp outputs.
+                # The transposed small-K kernel layout (states on
+                # sublanes, batch on lanes — what buys the 100 ns
+                # chain step; the unpadded lane-layout kernel measured
+                # ~4x slower serially) pads B=16 to the 128-lane grid,
+                # so the kernel-side transpose write and the two
+                # alpha/beta readbacks move PADDED (Tp, Ss, Bp) bytes;
+                # plus the logical conditioning/lse/exp passes.
+                hbm_bytes=3 * 1000 * 16 * 128 * 4
+                + 6 * 16e3 * 12 * 4,
             ),
         ],
     ),
