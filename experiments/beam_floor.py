@@ -25,7 +25,23 @@ slope(C) + slope(E): no beam decode that returns per-frame states and
 paths can skip the beam update or the parent chase. Variants A/B
 document how much of C is irreducible dot latency vs rank arithmetic.
 
-Run on the real chip:  python experiments/beam_floor.py
+Committed r5 measurements on v5e-1 (ns per frame):
+
+    N=1 : A 173-178   B 198   C 212-220   D 216   E 86
+    N=8 : A 226       B 246   C 266       E ~100
+    N=16: C ~300      E ~115
+
+The generic 100 ns "smallk" constant the r4 roofline charged was never
+right for this family: the beam body's dependent chain is one (W8, Sl)
+MXU dot (173 ns bare — the same latency class as fwd_floor's 190 ns
+lane-layout result) plus ~40 ns of tree+rank vreg work, and the
+backtrace chain adds ~86 ns/frame. These slopes feed
+``roofline.V5E["step_pair_beam*"]`` — the streaming rows' ceilings are
+now measured floors, not bounds (VERDICT r4 item 2). The store
+variant (D − C ≈ 3 ns) confirms per-frame table writes ride free
+behind the chain.
+
+Run on the real chip:  python experiments/beam_floor.py [N ...]
 """
 
 import functools

