@@ -287,6 +287,7 @@ def main():
             return jnp.sum(conf) + jnp.sum(states)
 
         lat = measure(stream_step, chunk, 96)
+        stream_p50 = lat["p50"]
         lines.append(emit(
             "streaming_chunk_p50_s12_d80_beam", lat, 160 * FRAME_SEC,
             1.1e-3,
@@ -374,7 +375,7 @@ def main():
         print(
             f"host framer ({'native' if framer.is_native else 'numpy'}) "
             f"alternative: p50={fr_ms[len(fr_ms)//2]:.3f}ms per 160 frames "
-            f"(+ {lat['p50']*1e3:.3f}ms device decode); fused on-device "
+            f"(+ {stream_p50*1e3:.3f}ms device decode); fused on-device "
             f"path above is the default",
             file=sys.stderr, flush=True,
         )
