@@ -377,7 +377,10 @@ def ctc_viterbi_alignment(
     likely frame-level label sequence consistent with the target.
     Frames beyond ``input_lengths`` repeat the final label.
     """
-    from ..ops.ctc_kernel import ctc_viterbi_kernel_supported
+    from ..ops.ctc_kernel import (
+        ctc_viterbi_kernel_supported,
+        ctc_viterbi_wide_supported,
+    )
 
     T, B, _C = log_probs.shape
     U = targets.shape[1]
@@ -388,16 +391,24 @@ def ctc_viterbi_alignment(
     use_kernel = (
         _use_ctc_kernels(S, B) and ctc_viterbi_kernel_supported(T, B, S)
     )
+    # Beyond the whole-resident kernel's envelope: the streaming wide
+    # pair (S <= 2048, T bounded only by HBM) — the XLA scan fallback
+    # measured ~1.5 us/frame-pair at the S=2001 bench shape.
+    use_wide = (
+        not use_kernel
+        and _use_ctc_kernels(S, B)
+        and ctc_viterbi_wide_supported(T, B, S)
+    )
     return _ctc_viterbi_impl(
         log_probs, targets, input_lengths, target_lengths,
-        blank_id=blank_id, use_kernel=use_kernel,
+        blank_id=blank_id, use_kernel=use_kernel, use_wide=use_wide,
     )
 
 
-@partial(jax.jit, static_argnames=("blank_id", "use_kernel"))
+@partial(jax.jit, static_argnames=("blank_id", "use_kernel", "use_wide"))
 def _ctc_viterbi_impl(
     log_probs, targets, input_lengths, target_lengths,
-    blank_id: int, use_kernel: bool,
+    blank_id: int, use_kernel: bool, use_wide: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     T, B, C = log_probs.shape
     expanded = expand_targets_with_blank(targets, blank_id)
@@ -413,14 +424,19 @@ def _ctc_viterbi_impl(
     a0 = a0.at[:, 1].set(jnp.where(target_lengths > 0, lp[:, 0, 1], _NEG))
     a0 = jnp.where(valid_pos, a0, _NEG)
 
-    if use_kernel:
+    if use_kernel or use_wide:
         # Single-program Pallas trellis + in-kernel backtrace
-        # (measured 1.18 ms -> ~0.2 ms at B=16 T=500 U=50 on v5e-1).
-        from ..ops.ctc_kernel import ctc_lattice_viterbi
+        # (measured 1.18 ms -> ~0.2 ms at B=16 T=500 U=50 on v5e-1);
+        # the streaming wide pair covers S up to 2048 at any T.
+        from ..ops.ctc_kernel import (
+            ctc_lattice_viterbi,
+            ctc_lattice_viterbi_wide,
+        )
 
+        fn = ctc_lattice_viterbi_wide if use_wide else ctc_lattice_viterbi
         skip_add = jnp.where(skip_ok, 0.0, _NEG)
         vmask = jnp.where(valid_pos, 0.0, _NEG)
-        positions, score = ctc_lattice_viterbi(
+        positions, score = fn(
             lp, skip_add, vmask, a0, input_lengths,
             2 * target_lengths, jnp.maximum(2 * target_lengths - 1, 0),
         )

@@ -44,6 +44,8 @@ __all__ = [
     "ctc_lattice_supported",
     "ctc_lattice_viterbi",
     "ctc_viterbi_kernel_supported",
+    "ctc_lattice_viterbi_wide",
+    "ctc_viterbi_wide_supported",
 ]
 
 _MAX_S = 512   # lattice lanes (multi-tile rolls verified exact on hw)
@@ -550,6 +552,336 @@ def _lp_wide(lp, B, Sp, Tp):
     lpp = _pad_to(_pad_to(lp.astype(jnp.float32), Sp, 2, 0.0), Tp, 1, 0.0)
     Bq, T2, _ = lpp.shape
     return lpp.reshape(Bq, T2, Sp // LANES, LANES)
+
+
+# ---------------------------------------------------------------------------
+# ASR-scale forced alignment: streaming wide trellis + choice-chase pair
+# ---------------------------------------------------------------------------
+#
+# Beyond the whole-problem-resident kernel's envelope (the (Tp, Bs, Sp)
+# choice table stops fitting VMEM around T·S ≈ 3e5), the S=2001 bench
+# shape was falling back to the XLA scan pair at ~1.5 µs/frame-pair.
+# This pair streams instead:
+#
+# * forward: the 2-D lattice layout of the wide loss kernels, but with
+#   ALL batch rows packed on the sublane axis — (B·R, 128) tiles where
+#   R = Sp/128 — so one program advances every row per frame (the loss
+#   kernels' one-row-per-grid-program design serializes B chains).
+#   Per-frame 3-way max + choice selection; choices stream to HBM
+#   behind the compute (a (tc, B·R, 128) f32 chunk every 128 frames).
+# * backtrace: streams the choice table BACKWARDS, carrying a one-hot
+#   position per batch block; per-frame positions accumulate into a
+#   lane-per-frame register column, so the output is a tiny
+#   (n_chunks, B·R, 128) table — no second streaming pass.
+#
+# Block-local sublane masks keep the cross-row rolls from leaking
+# between batch blocks (a roll across the block edge always lands on a
+# position the band mask writes to _NEG).
+
+
+def _vit_wide_rows(batch: int, lattice: int):
+    Sp = _ceil_to(lattice, LANES)
+    return batch * (Sp // LANES), Sp
+
+
+def ctc_viterbi_wide_supported(T: int, batch: int, lattice: int) -> bool:
+    if lattice > _MAX_S_WIDE or batch > _MAX_B:
+        return False
+    BR, _ = _vit_wide_rows(batch, lattice)
+    # fwd: double-buffered lp in + single choice out; bt: double
+    # choices in + resident position columns.
+    vmem = 3 * _T_CHUNK * BR * LANES * 4
+    return vmem <= _VMEM_BUDGET
+
+
+def _vit_wide_shift_fwd(a, rblk, liota, k, R):
+    """a[p] -> a[p-k] within each batch block of R sublane rows."""
+    al = pltpu.roll(a, k, axis=1)
+    wrap = pltpu.roll(al, 1, axis=0)
+    out = jnp.where(liota < k, wrap, al)
+    return jnp.where(rblk * LANES + liota >= k, out, _NEG)
+
+
+def _vit_wide_shift_bwd(m, rblk, liota, k, R):
+    """m[p] -> m[p+k] within each batch block (mass moves down by k)."""
+    rows = m.shape[0]
+    ml = pltpu.roll(m, LANES - k, axis=1)
+    wrap = pltpu.roll(ml, rows - 1, axis=0)
+    out = jnp.where(liota >= LANES - k, wrap, ml)
+    return jnp.where(rblk * LANES + liota < R * LANES - k, out, 0.0)
+
+
+def _ctc_vit_wide_fwd_kernel(
+    lp_hbm,     # (Tp, BR, 128) HBM — gathered emissions, batch-packed
+    skip_ref,   # (BR, 128) VMEM — 0 / _NEG skip mask
+    vmask_ref,  # (BR, 128) VMEM — 0 / _NEG valid-position mask
+    a0_ref,     # (BR, 128) VMEM — frame-0 delta
+    tt_ref,     # (BR, 128) VMEM f32 — per-row input length broadcast
+    ch_hbm,     # (Tp, BR, 128) HBM out — 3-way choices (0/1/2)
+    dfin_ref,   # (BR, 128) VMEM out — delta at the final frame
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    R: int,
+):
+    BR, L = a0_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    riota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 0)
+    rblk = riota % R
+    liota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 1)
+
+    def body(lp_buf, ch_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lp_hbm.at[pl.ds(chunk * tc, tc)], lp_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(chunk):
+            return pltpu.make_async_copy(
+                ch_buf, ch_hbm.at[pl.ds(chunk * tc, tc)], out_sems.at[0],
+            )
+
+        in_dma(0, 0).start()
+        skip_add = skip_ref[:, :]
+        vmask = vmask_ref[:, :]
+        tt = tt_ref[:, :]
+
+        def frames(c, slot, d):
+            def step(tf, d):
+                t = c * tc + tf
+                lp_t = lp_buf[slot, tf]
+                adv = _vit_wide_shift_fwd(d, rblk, liota, 1, R)
+                skip = _vit_wide_shift_fwd(d, rblk, liota, 2, R) + skip_add
+                b1 = jnp.maximum(d, adv)
+                best = jnp.maximum(b1, skip)
+                choice = jnp.where(
+                    best == d, 0.0, jnp.where(best == adv, 1.0, 2.0)
+                )
+                nxt = (lp_t + best) + vmask
+                if isinstance(t, int) and t == 0:
+                    nxt, choice = a0_ref[:, :], jnp.zeros_like(choice)
+                else:
+                    first = t == 0
+                    nxt = jnp.where(first, a0_ref[:, :], nxt)
+                    choice = jnp.where(first, 0.0, choice)
+                frozen = t >= tt
+                nxt = jnp.where(frozen, d, nxt)
+                choice = jnp.where(frozen, 0.0, choice)
+                ch_buf[pl.ds(tf, 1)] = choice[None]
+                return nxt
+
+            return _frame_loop(0, tc, step, d)
+
+        def run_chunk(c, r_slot, d):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, r_slot + 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, r_slot).wait()
+            # The single choice buffer must have drained before this
+            # chunk's stores (compute >> the 5 µs DMA, so no stall).
+            @pl.when(r_slot >= 1)
+            def _():
+                out_dma(r_slot - 1).wait()
+
+            d = frames(c, slot, d)
+            out_dma(r_slot).start()
+            return d
+
+        d0 = jnp.full((BR, L), _NEG, jnp.float32)
+        if n_chunks == 1:
+            d = run_chunk(0, 0, d0)
+        else:
+            d = run_chunk(0, 0, d0)
+            d = jax.lax.fori_loop(
+                1, n_chunks, lambda c, dd: run_chunk(c, c, dd), d
+            )
+        dfin_ref[:, :] = d
+        out_dma(n_chunks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        lp_buf=pltpu.VMEM((2, t_chunk, BR, LANES), jnp.float32),
+        ch_buf=pltpu.VMEM((t_chunk, BR, LANES), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((1,)),
+    )
+
+
+def _ctc_vit_wide_bt_kernel(
+    ch_hbm,     # (Tp, BR, 128) HBM — choices from the forward pass
+    oh_ref,     # (BR, 128) VMEM — one-hot end positions
+    pos_ref,    # (n_chunks, BR, 128) VMEM out — per-frame positions,
+                # frame-within-chunk on lanes
+    *,
+    t_chunk: int,
+    t_total: int,
+    R: int,
+):
+    BR, L = oh_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    riota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 0)
+    rblk = riota % R
+    liota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 1)
+    pidx = (rblk * LANES + liota).astype(jnp.float32)
+    fidx = liota.astype(jnp.float32)
+
+    def body(ch_buf, in_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                ch_hbm.at[pl.ds(chunk * tc, tc)], ch_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        in_dma(0, n_chunks - 1).start()
+
+        def chunk_body(ci, oh):
+            c = n_chunks - 1 - ci
+            slot = ci % 2
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                in_dma((ci + 1) % 2, c - 1).start()
+
+            in_dma(slot, c).wait()
+
+            def step(i, carry):
+                oh, cols = carry
+                tf = tc - 1 - i
+                ch_t = ch_buf[slot, tf]
+                # Per-sublane partial position (the one-hot occupies a
+                # single row per block); pack into lane column tf.
+                pp = jnp.sum(pidx * oh, axis=1, keepdims=True)
+                cols = jnp.where(fidx == tf, pp, cols)
+                # Gate by the choice AT THE SOURCE (where the mass is),
+                # THEN shift — a per-row gate after the shift would
+                # zero any back-step that crosses a sublane boundary
+                # (the destination row's gate is 0; caught by the
+                # ragged interpret parity test).
+                oh = (
+                    oh * (ch_t == 0.0).astype(jnp.float32)
+                    + _vit_wide_shift_bwd(
+                        oh * (ch_t == 1.0).astype(jnp.float32),
+                        rblk, liota, 1, R,
+                    )
+                    + _vit_wide_shift_bwd(
+                        oh * (ch_t == 2.0).astype(jnp.float32),
+                        rblk, liota, 2, R,
+                    )
+                )
+                return oh, cols
+
+            oh, cols = _frame_loop(
+                0, tc, step, (oh, jnp.zeros((BR, L), jnp.float32))
+            )
+            pos_ref[pl.ds(c, 1)] = cols[None]
+            return oh
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, oh_ref[:, :])
+
+    pl.run_scoped(
+        body,
+        ch_buf=pltpu.VMEM((2, t_chunk, BR, LANES), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@jax.jit
+def ctc_lattice_viterbi_wide(
+    lp: jax.Array,          # (B, T, S) gathered emissions
+    skip_add: jax.Array,    # (B, S)
+    vmask: jax.Array,       # (B, S)
+    a0: jax.Array,          # (B, S)
+    input_lengths: jax.Array,
+    end1: jax.Array,
+    end2: jax.Array,
+):
+    """ASR-scale twin of :func:`ctc_lattice_viterbi` (S up to 2048,
+    T bounded only by HBM): same conventions, same tie-breaks."""
+    B, T, S = lp.shape
+    BR, Sp = _vit_wide_rows(B, S)
+    R = Sp // LANES
+    Tp = _ceil_to(T, _T_CHUNK)
+
+    def pack(x, fill):
+        return _prep_wide(x, B, Sp, fill).reshape(BR, LANES)
+
+    lp_w = _lp_wide(lp, B, Sp, Tp)                      # (B, Tp, R, 128)
+    lp_w = jnp.transpose(lp_w, (1, 0, 2, 3)).reshape(Tp, BR, LANES)
+    tt = jnp.broadcast_to(
+        jnp.repeat(
+            _pad_to(input_lengths.astype(jnp.float32), B, 0, 0.0), R
+        )[:, None],
+        (BR, LANES),
+    )
+
+    ch, dfin = pl.pallas_call(
+        functools.partial(
+            _ctc_vit_wide_fwd_kernel, t_chunk=_T_CHUNK, t_total=Tp,
+            t_true=T, R=R,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, BR, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((BR, LANES), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(
+        lp_w,
+        pack(jnp.where(skip_add >= 0.0, 0.0, _NEG), _NEG),
+        pack(vmask, _NEG),
+        pack(a0, _NEG),
+        tt,
+    )
+
+    # End selection + score in XLA (tiny).
+    dflat = dfin.reshape(B, R, LANES).reshape(B, Sp)[:, :S]
+    v1 = jnp.take_along_axis(dflat, end1.astype(jnp.int32)[:, None],
+                             axis=1)[:, 0]
+    v2 = jnp.take_along_axis(dflat, end2.astype(jnp.int32)[:, None],
+                             axis=1)[:, 0]
+    last_pos = jnp.where(v1 >= v2, end1, end2).astype(jnp.int32)
+    score = jnp.maximum(v1, v2)
+    oh0 = (
+        jnp.arange(Sp)[None, :] == last_pos[:, None]
+    ).astype(jnp.float32).reshape(B, R, LANES).reshape(BR, LANES)
+
+    pos_cols = pl.pallas_call(
+        functools.partial(
+            _ctc_vit_wide_bt_kernel, t_chunk=_T_CHUNK, t_total=Tp, R=R,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (Tp // _T_CHUNK, BR, LANES), jnp.float32
+        ),
+        interpret=_use_interpret(),
+    )(ch, oh0)
+
+    # (n_chunks, B, R, 128) --sum over R--> (n_chunks, B, 128) -> (B, T)
+    pos = jnp.sum(
+        pos_cols.reshape(Tp // _T_CHUNK, B, R, LANES), axis=2
+    )
+    positions = jnp.transpose(pos, (1, 0, 2)).reshape(B, Tp)[:, :T]
+    return positions.astype(jnp.int32), score
 
 
 # ---------------------------------------------------------------------------

@@ -328,20 +328,21 @@ BENCH_MODELS = {
         ],
     ),
     # B=4 T=2048 C=100 U=1000 CTC forced alignment at the S = 2U+1 =
-    # 2001 lattice cap (2-D lattice layout). The committed r5 U-sweep
-    # (U=125..1000 at T=2048: 3.58 -> 4.09 ms) shows the cost is
-    # nearly FLAT in S — an S-independent ~1.8 us/frame-pair base in
-    # the 2-D layout's body dominates (+0.11 ns per lattice state).
-    # The model keeps the generic serial constant, so the ~0.1 frac is
-    # an honest "known headroom" marker: a tuned big-lattice body
-    # (today's base is ~9x the batch-gridded S<=512 layout's 0.2 us)
-    # is the identified next optimization, not a mystery.
+    # 2001 lattice cap. r5 history: the XLA scan fallback ran this at
+    # 4.1-6.2 ms (committed U-sweep: cost flat in S, ~1.8 us/frame
+    # base); the streaming wide Viterbi pair (batch packed on
+    # sublanes, choices streamed to HBM, choice-chase backtrace —
+    # ops/ctc_kernel.py ctc_lattice_viterbi_wide) replaced it at
+    # ~1.1 ms, path-exact. Segments: the gather+layout glue moves
+    # ~5 (B,T,Sp)-sized HBM passes; the two chains are charged at the
+    # measured decode-family pair floor (the wide 2-D tile body's own
+    # measured marginal cost is ~337 ns/frame-pair at T=1024, so the
+    # frac against this floor reports real remaining headroom).
     "ctc_forced_alignment_rtf_b4_T2048_c100_u1000": dict(
-        hbm_bytes=4 * 2048 * 100 * 4 + 2 * 4 * 2048 * 2001 * 4
-        + 4 * 2048 * 4,
-        vpu_flops=8.0 * 4 * 2048 * 2001,
-        serial_steps=2 * 2048,
-        smallk=True,
+        dispatches=[
+            dict(hbm_bytes=5 * 4 * 2048 * 2048 * 4),
+            dict(pair_steps=2048, hbm_bytes=4 * 2048 * 4),
+        ],
     ),
 }
 

@@ -280,3 +280,39 @@ def test_ctc_wide_lattice_2048(monkeypatch):
         k, x = np.asarray(k), np.asarray(x)
         sel = m & (x > -1e29)
         np.testing.assert_allclose(k[sel], x[sel], atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "B,T,C,U,seed",
+    [(2, 256, 20, 70, 0), (3, 300, 30, 100, 1), (4, 384, 40, 500, 2),
+     (1, 128, 10, 64, 3)],
+)
+def test_ctc_viterbi_wide_matches_xla(B, T, C, U, seed):
+    """The streaming wide Viterbi pair (S > 512 regime; batch packed on
+    sublanes, choices streamed to HBM, choice-chase backtrace) must be
+    path-exact vs the XLA scan, ragged lengths included. The r5 bug
+    this caught: gating the backtrace shift by a per-ROW choice sum
+    zeroes any back-step that crosses a sublane boundary."""
+    from pytorch_hmm_tpu.alignment.ctc import _ctc_viterbi_impl
+    from pytorch_hmm_tpu.ops.ctc_kernel import ctc_viterbi_wide_supported
+
+    assert ctc_viterbi_wide_supported(T, B, 2 * U + 1)
+    rng = np.random.default_rng(seed)
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(T, B, C)), jnp.float32), -1
+    )
+    tls = jnp.asarray(rng.integers(max(1, U // 2), U + 1, B), jnp.int32)
+    tg = jnp.asarray(rng.integers(1, C, (B, U)), jnp.int32)
+    ils = jnp.asarray(
+        [T] + list(rng.integers(T // 2, T + 1, max(B - 1, 0))), jnp.int32
+    )[:B]
+    a_ref, s_ref = _ctc_viterbi_impl(
+        lp, tg, ils, tls, blank_id=0, use_kernel=False, use_wide=False
+    )
+    a_w, s_w = _ctc_viterbi_impl(
+        lp, tg, ils, tls, blank_id=0, use_kernel=False, use_wide=True
+    )
+    np.testing.assert_array_equal(np.asarray(a_w), np.asarray(a_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_w), np.asarray(s_ref), atol=1e-4
+    )
