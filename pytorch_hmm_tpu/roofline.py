@@ -130,8 +130,12 @@ BENCH_MODELS = {
     # log scores; HBM + a small GEMM) and the decode kernel, whose
     # measured whole-decode floor is the r5 T-sweep pair constant
     # (157 ns/frame-pair — TIGHTER than the old 2x100 ns estimate, so
-    # this row's frac drops vs r4; the distance is the emission
-    # dispatch's small-GEMM inefficiency, not the trellis).
+    # this row's frac drops vs r4). r5 piece profile: emission 0.050 +
+    # decode 0.160 + 0.035 glue (the (B,T,S) round trip + dispatch
+    # latency). The glue would need emission->trellis fusion to remove;
+    # the fused kernel was re-A/B'd this round and measured 0.62 ms —
+    # 2.6x SLOWER (the trellis chain stalls the MXU tiles) — so ~0.74
+    # is the defended state of this row.
     "mixture_gaussian_hmm_decode_rtf_b32_T1000_s12_c4_d80": dict(
         dispatches=[
             dict(  # emission scoring
