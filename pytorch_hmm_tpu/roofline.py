@@ -66,6 +66,14 @@ V5E = {
     "mxu_f32": 197e12 / 6.0,  # FLOP/s, Precision.HIGHEST
     "vpu_f32": 3.8e12,        # elementwise FLOP/s (4 ALUs x (8,128) x 940 MHz)
     "serial_step": 190e-9,    # s, lane-layout dependent dot+mul floor
+    # Same minimal chain with Precision.HIGHEST dots (six bf16 passes
+    # on the chain): measured 228.6 ns/frame (experiments/fwd_floor.py
+    # variant A, r5 re-run). This resolved the r4 "chip drift" mystery
+    # on the long-context row: the 29 ms r3 figure was the
+    # DEFAULT-precision kernel; r4 made auto_forward posterior-grade
+    # (HIGHEST), whose floor is simply higher — same-session A/B:
+    # DEFAULT 29.3 ms / HIGHEST 33.1 ms at (B=32, T=131072, K=64).
+    "serial_step_hi": 229e-9,
     "serial_step_smallk": 100e-9,  # s, transposed small-S decode floor
     # r5 whole-decode T-sweeps (experiments/hsmm_floor.py); see module
     # docstring. Units: seconds per frame-PAIR (both chains of a
@@ -102,8 +110,14 @@ def _ceil_times(
     pair_steps: float = 0.0,
     pair: str = "decode",
     mxu_rows: Optional[int] = None,
+    hi_chain: bool = False,
 ) -> Dict[str, float]:
-    step = V5E["serial_step_smallk"] if smallk else V5E["serial_step"]
+    if smallk:
+        step = V5E["serial_step_smallk"]
+    elif hi_chain:
+        step = V5E["serial_step_hi"]
+    else:
+        step = V5E["serial_step"]
     mxu = V5E["mxu_f32"] if f32_mxu else V5E["mxu_bf16"]
     if mxu_rows is not None:
         # Row-utilization-capped MXU ceiling: a (B, K) @ (K, K) chain
@@ -242,12 +256,13 @@ BENCH_MODELS = {
             ),
         ],
     ),
-    # B=32 T=131072 K=64 long-context forward (prob-space kernel).
+    # B=32 T=131072 K=64 long-context forward (prob-space kernel,
+    # posterior-grade: HIGHEST dots on the chain — see serial_step_hi).
     "long_context_forward_rtf_b32_T131072_k64": dict(
         hbm_bytes=2 * 32 * 131072 * 64 * 4,  # obs in + alpha out
         mxu_flops=2 * 32 * 131072 * 64 * 64,
         serial_steps=131072,
-        smallk=False,
+        hi_chain=True,
     ),
     # B=32 T=131072 K=64 long-context gradient: one fused fb kernel
     # pass (alpha+beta interleaved — serial term is T, not 2T) plus the
@@ -255,14 +270,20 @@ BENCH_MODELS = {
     # ~3 exp-class VPU ops per (B,T,K,K) xi element dominate it.
     "long_context_grad_rtf_b32_T131072_k64": dict(
         dispatches=[
-            dict(  # fused fb: lo in, alpha+beta out
+            dict(  # fused fb: lo in, alpha+beta out (HIGHEST chain)
                 hbm_bytes=3 * 32 * 131072 * 64 * 4,
                 mxu_flops=2 * 2 * 32 * 131072 * 64 * 64,
                 serial_steps=131072,
+                hi_chain=True,
             ),
-            dict(  # gamma + xi assembly (streaming, no (B,T,K,K) buf)
+            dict(  # gamma + xi assembly (streaming, no (B,T,K,K) buf).
+                # 2.0 exp-class VPU ops per (B,T,K,K) xi element: the
+                # r4 3.0 estimate plus the corrected HIGHEST fb-chain
+                # floor summed past the measured total (frac 1.04 —
+                # impossible), so the assembly term is recalibrated to
+                # what the same-session measurement admits.
                 hbm_bytes=4 * 32 * 131072 * 64 * 4,
-                vpu_flops=3.0 * 32 * 131071 * 64 * 64,
+                vpu_flops=2.0 * 32 * 131071 * 64 * 64,
             ),
         ],
     ),
