@@ -146,10 +146,14 @@ BENCH_MODELS = {
     # (157 ns/frame-pair — TIGHTER than the old 2x100 ns estimate, so
     # this row's frac drops vs r4). r5 piece profile: emission 0.050 +
     # decode 0.160 + 0.035 glue (the (B,T,S) round trip + dispatch
-    # latency). The glue would need emission->trellis fusion to remove;
-    # the fused kernel was re-A/B'd this round and measured 0.62 ms —
-    # 2.6x SLOWER (the trellis chain stalls the MXU tiles) — so ~0.74
-    # is the defended state of this row.
+    # latency). Both fusion escapes were A/B'd this round and LOST:
+    # emission->trellis fusion measured 0.62 ms (2.6x slower — the
+    # trellis chain stalls the MXU tiles), and an in-kernel
+    # mixture-lse epilogue (xor-partner roll tree + compensated
+    # one-hot compaction) measured ~2x the two-pass emission in
+    # isolation (the roll-tree transcendentals cost more on the VPU
+    # than XLA's fused lse pass over the small (B,T,S*C) table).
+    # ~0.74 is the defended state of this row.
     "mixture_gaussian_hmm_decode_rtf_b32_T1000_s12_c4_d80": dict(
         dispatches=[
             dict(  # emission scoring
