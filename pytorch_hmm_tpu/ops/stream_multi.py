@@ -58,6 +58,10 @@ _MAX_H = 1024
 _MAX_N = 16
 _FULL_UNROLL_N = 8
 _BLOCK_UNROLL = 8
+# Per-frame stream-group width: the beam update's temporaries (the
+# (N, Sp, Sl) beats mask and friends) spill vector registers beyond
+# 8 rows, so each frame processes the fleet in <=8-stream groups.
+_N_GROUP = 8
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -141,15 +145,18 @@ def _beam_multi_kernel(
     def to_sub_col(row):    # (N, 1, LANES) -> (N, W8, 1)
         return jnp.sum(row * eye_wl, axis=2, keepdims=True)
 
-    def step(tf, carry):
-        sc, oh = carry                           # (N,W8,1), (N,W8,Sl)
-        lo_t = lo_ref[:, pl.ds(tf, 1), :]        # (N, 1, Sl)
+    def step_group(tf, sc, oh, lo_t, g0, gn):
+        """Beam update for streams [g0, g0+gn) — the per-frame
+        temporaries (table, beats, ...) are (gn, ·, ·), so large fleets
+        split into ≤8-row groups per frame instead of spilling vregs
+        (N=16 single-group measured ~790 ns/frame-pair vs the
+        extrapolated ~540 floor; grouping recovers most of it)."""
         # The one MXU dot: flatten streams into rows vs the shared la.
         rows = jax.lax.dot_general(
-            oh.reshape(N * W8, Sl), la, (((1,), (0,)), ((), ())),
+            oh.reshape(gn * W8, Sl), la, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ).reshape(N, W8, Sl)
+        ).reshape(gn, W8, Sl)
         # First-chunk gating costs nothing here: the wrapper ZEROES
         # the incoming one-hots of streams with no history, so their
         # frame-0 ``rows`` term is exactly 0 and ``cont`` equals the
@@ -167,31 +174,51 @@ def _beam_multi_kernel(
             vals = jnp.where(take, lv, rv)
             pars = jnp.where(take, lp_, rp_)
             w = h
-        bps = vals[:, 0:1]                       # (N, 1, Sl)
+        bps = vals[:, 0:1]                       # (gn, 1, Sl)
         pps = pars[:, 0:1]
 
         # Rank selection (lax.top_k order: descending, ties -> lowest
         # state index). bps in sublane orientation via exact mask-sum.
         bps_col = jnp.sum(
             eye_sp * bps, axis=2, keepdims=True
-        )                                        # (N, Sp, 1)
+        )                                        # (gn, Sp, 1)
         beats = elig_col & (
             (~elig) | (bps_col > bps) | ((bps_col == bps) & i_lt_j)
-        )                                        # (N, Sp, Sl)
+        )                                        # (gn, Sp, Sl)
         rank = jnp.sum(
             beats.astype(jnp.float32), axis=1, keepdims=True
-        )                                        # (N, 1, Sl)
+        )                                        # (gn, 1, Sl)
         oh_n = (
             (rank == iota_w) & elig & real_rows.astype(jnp.bool_)
-        ).astype(jnp.float32)                    # (N, W8, Sl)
-        sc_n = jnp.sum(oh_n * bps, axis=2, keepdims=True)   # (N, W8, 1)
+        ).astype(jnp.float32)                    # (gn, W8, Sl)
+        sc_n = jnp.sum(oh_n * bps, axis=2, keepdims=True)   # (gn, W8, 1)
         pv_n = jnp.max(oh_n * pps, axis=2, keepdims=True)
         sc_n = jnp.where(real_rows, sc_n, neg_inf)
         svals = jnp.max(oh_n * iota_l, axis=2, keepdims=True)
 
-        pv_tab[pl.ds(tf, 1)] = to_lane_row(pv_n).swapaxes(0, 1)
-        sv_tab[pl.ds(tf, 1)] = to_lane_row(svals).swapaxes(0, 1)
+        pv_tab[pl.ds(tf, 1), pl.ds(g0, gn)] = (
+            to_lane_row(pv_n).swapaxes(0, 1)
+        )
+        sv_tab[pl.ds(tf, 1), pl.ds(g0, gn)] = (
+            to_lane_row(svals).swapaxes(0, 1)
+        )
+        return sc_n, oh_n
 
+    def step(tf, carry):
+        sc, oh = carry                           # (N,W8,1), (N,W8,Sl)
+        lo_t = lo_ref[:, pl.ds(tf, 1), :]        # (N, 1, Sl)
+        outs = []
+        for g0 in range(0, N, _N_GROUP):
+            gn = min(_N_GROUP, N - g0)
+            outs.append(step_group(
+                tf,
+                jax.lax.slice_in_dim(sc, g0, g0 + gn, axis=0),
+                jax.lax.slice_in_dim(oh, g0, g0 + gn, axis=0),
+                jax.lax.slice_in_dim(lo_t, g0, g0 + gn, axis=0),
+                g0, gn,
+            ))
+        sc_n = jnp.concatenate([o[0] for o in outs], axis=0)
+        oh_n = jnp.concatenate([o[1] for o in outs], axis=0)
         valid = tf < nv
         sc = jnp.where(valid, sc_n, sc)
         oh = jnp.where(valid, oh_n, oh)
@@ -202,24 +229,45 @@ def _beam_multi_kernel(
             jnp.int32, (1, W8, LANES), 2
         ).astype(jnp.float32)
 
-        def back(i, cur):
-            t = t_pad - 1 - i
+        def back_group(t, cur, g0, gn):
             # NOTE: no None-mixed advanced indexing in here — Mosaic
             # lowers it as an (unsupported >2-D) gather; use lax.slice
             # + expand_dims explicitly.
-            sv_row = sv_tab[pl.ds(t, 1)].swapaxes(0, 1)  # (N, 1, LANES)
+            sv_row = (
+                sv_tab[pl.ds(t, 1), pl.ds(g0, gn)].swapaxes(0, 1)
+            )                                    # (gn, 1, LANES)
             st_w = jnp.sum(
                 cur * sv_row, axis=2, keepdims=True
-            )                                    # (N, W8, 1) exact pick
-            st_out[pl.ds(t, 1)] = to_lane_row(st_w).swapaxes(0, 1)
-            pv_col = to_sub_col(pv_tab[pl.ds(t, 1)].swapaxes(0, 1))
+            )                                    # (gn, W8, 1) exact pick
+            st_out[pl.ds(t, 1), pl.ds(g0, gn)] = (
+                to_lane_row(st_w).swapaxes(0, 1)
+            )
+            pv_col = to_sub_col(
+                pv_tab[pl.ds(t, 1), pl.ds(g0, gn)].swapaxes(0, 1)
+            )
             pmat = (pv_col == iota_lane).astype(jnp.float32)
             # nxt[n, w, p] = sum_s cur[n, w, s] · pmat[n, s, p]
             cur8 = jax.lax.slice_in_dim(cur, 0, W8, axis=2)
-            nxt = jnp.sum(
+            return jnp.sum(
                 jnp.expand_dims(cur8, 3) * jnp.expand_dims(pmat, 1),
                 axis=2,
-            )                                    # (N, W8, LANES)
+            )                                    # (gn, W8, LANES)
+
+        def back(i, cur):
+            t = t_pad - 1 - i
+            nxt = jnp.concatenate(
+                [
+                    back_group(
+                        t,
+                        jax.lax.slice_in_dim(
+                            cur, g0, g0 + min(_N_GROUP, N - g0), axis=0
+                        ),
+                        g0, min(_N_GROUP, N - g0),
+                    )
+                    for g0 in range(0, N, _N_GROUP)
+                ],
+                axis=0,
+            )
             return jnp.where(t < nv, nxt, cur)
 
         cur0 = jnp.broadcast_to(eye_wl, (N, W8, LANES))

@@ -91,11 +91,13 @@ V5E = {
     "step_pair_beam8": 411e-9,    # C 266 + E 145 (measured)
     # N=16's minimal-chain kernel exceeds practical Mosaic compile
     # budgets (full-unroll live-window), so this is EXTRAPOLATED from
-    # the N=1→8 sublinear growth of C and E. The production kernel's
-    # own T-sweep marginal cost is ~790 ns/frame-pair at N=16, so the
-    # 16x row's fraction (~0.68 against this floor) reads as real
-    # headroom pending an N=16-tuned kernel — unroll width was A/B'd
-    # (8/16/32: 0.130/0.129/0.129 ms) and is NOT the gap.
+    # the N=1→8 sublinear growth of C and E. Closing attempts so far:
+    # unroll width A/B'd (8/16/32 equal — not the gap); per-frame
+    # <=8-stream GROUPING of the beam update (bounds the (N, Sp, Sl)
+    # temporaries that spill vregs) took the chunk 0.132 -> 0.121 ms.
+    # The production marginal cost is now ~730 ns/frame-pair, so the
+    # 16x row's fraction (~0.74 against this floor) still reads as
+    # real remaining headroom.
     "step_pair_beam16": 540e-9,
 }
 
