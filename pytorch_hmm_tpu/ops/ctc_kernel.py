@@ -602,13 +602,212 @@ def _vit_wide_shift_fwd(a, rblk, liota, k, R):
     return jnp.where(rblk * LANES + liota >= k, out, _NEG)
 
 
-def _vit_wide_shift_bwd(m, rblk, liota, k, R):
-    """m[p] -> m[p+k] within each batch block (mass moves down by k)."""
+def _pack_wide_shift_bwd(m, rblk, liota, k, R, fill):
+    """m[p] -> m[p+k] within each batch block, ``fill`` past the end."""
     rows = m.shape[0]
     ml = pltpu.roll(m, LANES - k, axis=1)
     wrap = pltpu.roll(ml, rows - 1, axis=0)
     out = jnp.where(liota >= LANES - k, wrap, ml)
-    return jnp.where(rblk * LANES + liota < R * LANES - k, out, 0.0)
+    return jnp.where(rblk * LANES + liota < R * LANES - k, out, fill)
+
+
+def _vit_wide_shift_bwd(m, rblk, liota, k, R):
+    """One-hot mass moved down by k (zero fill)."""
+    return _pack_wide_shift_bwd(m, rblk, liota, k, R, 0.0)
+
+
+def ctc_wide_packed_supported(batch: int, lattice: int) -> bool:
+    """Batch-packed wide LOSS kernels: lp double buffer + single
+    alpha/beta out buffer must fit VMEM. Larger fleets fall back to the
+    one-row-per-grid-program kernels (correct, B× slower chains)."""
+    BR, _ = _vit_wide_rows(batch, lattice)
+    return 3 * _T_CHUNK * BR * LANES * 4 <= _VMEM_BUDGET
+
+
+def _ctc_fwd_wide_packed_kernel(
+    lp_hbm,     # (Tp, BR, 128) HBM — gathered emissions, batch-packed
+    skip_ref,   # (BR, 128) VMEM
+    vmask_ref,  # (BR, 128) VMEM
+    a0_ref,     # (BR, 128) VMEM
+    tt_ref,     # (BR, 128) VMEM f32 — per-row length broadcast
+    al_hbm,     # (Tp, BR, 128) HBM out
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    R: int,
+):
+    """All batch rows advance in ONE per-frame chain (the original wide
+    loss kernel ran one row per serial grid program — B× the chain
+    latency; same fix as ``ctc_lattice_viterbi_wide``)."""
+    BR, L = a0_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    riota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 0)
+    rblk = riota % R
+    liota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 1)
+
+    def body(lp_buf, al_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lp_hbm.at[pl.ds(chunk * tc, tc)], lp_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(chunk):
+            return pltpu.make_async_copy(
+                al_buf, al_hbm.at[pl.ds(chunk * tc, tc)], out_sems.at[0],
+            )
+
+        in_dma(0, 0).start()
+        skip_add = skip_ref[:, :]
+        vmask = vmask_ref[:, :]
+        tt = tt_ref[:, :]
+
+        def frames(c, slot, a):
+            def step(tf, a):
+                t = c * tc + tf
+                lp_t = lp_buf[slot, tf]
+                adv = _vit_wide_shift_fwd(a, rblk, liota, 1, R)
+                skip = (
+                    _vit_wide_shift_fwd(a, rblk, liota, 2, R) + skip_add
+                )
+                nxt = (lp_t + _lse3(a, adv, skip)) + vmask
+                if isinstance(t, int) and t == 0:
+                    nxt = a0_ref[:, :]
+                else:
+                    nxt = jnp.where(t == 0, a0_ref[:, :], nxt)
+                nxt = jnp.where(t < tt, nxt, a)
+                al_buf[pl.ds(tf, 1)] = nxt[None]
+                return nxt
+
+            return _frame_loop(0, tc, step, a)
+
+        def run_chunk(c, r_slot, a):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, r_slot + 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, r_slot).wait()
+
+            @pl.when(r_slot >= 1)
+            def _():
+                out_dma(r_slot - 1).wait()
+
+            a = frames(c, slot, a)
+            out_dma(r_slot).start()
+            return a
+
+        a0 = jnp.full((BR, L), _NEG, jnp.float32)
+        if n_chunks == 1:
+            run_chunk(0, 0, a0)
+        else:
+            a = run_chunk(0, 0, a0)
+            jax.lax.fori_loop(
+                1, n_chunks, lambda c, aa: run_chunk(c, c, aa), a
+            )
+        out_dma(n_chunks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        lp_buf=pltpu.VMEM((2, t_chunk, BR, LANES), jnp.float32),
+        al_buf=pltpu.VMEM((t_chunk, BR, LANES), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((1,)),
+    )
+
+
+def _ctc_bwd_wide_packed_kernel(
+    lpn_hbm,    # (Tp, BR, 128) HBM — emissions shifted one frame
+    skipf_ref,  # (BR, 128) VMEM
+    vmask_ref,  # (BR, 128) VMEM
+    bT_ref,     # (BR, 128) VMEM
+    tt_ref,     # (BR, 128) VMEM f32
+    be_hbm,     # (Tp, BR, 128) HBM out
+    *,
+    t_chunk: int,
+    t_total: int,
+    t_true: int,
+    R: int,
+):
+    BR, L = bT_ref.shape
+    tc = t_chunk
+    n_chunks = t_total // tc
+    last_c = n_chunks - 1
+    riota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 0)
+    rblk = riota % R
+    liota = jax.lax.broadcasted_iota(jnp.int32, (BR, L), 1)
+
+    def body(lp_buf, be_buf, in_sems, out_sems):
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                lpn_hbm.at[pl.ds(chunk * tc, tc)], lp_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(chunk):
+            return pltpu.make_async_copy(
+                be_buf, be_hbm.at[pl.ds(chunk * tc, tc)], out_sems.at[0],
+            )
+
+        in_dma(0, last_c).start()
+        skipf = skipf_ref[:, :]
+        vmask = vmask_ref[:, :]
+        bT = bT_ref[:, :]
+        tt = tt_ref[:, :]
+
+        def frames(c, slot, bb):
+            def step(i, bb):
+                tf = tc - 1 - i
+                t = c * tc + tf
+                msg = bb + lp_buf[slot, tf]
+                adv = _pack_wide_shift_bwd(msg, rblk, liota, 1, R, _NEG)
+                skip = (
+                    _pack_wide_shift_bwd(msg, rblk, liota, 2, R, _NEG)
+                    + skipf
+                )
+                nxt = _lse3(msg, adv, skip) + vmask
+                nxt = jnp.where(t + 1 < tt, nxt, bT)
+                be_buf[pl.ds(tf, 1)] = nxt[None]
+                return nxt
+
+            return _frame_loop(0, tc, step, bb)
+
+        def run_chunk(c, r_slot, bb):
+            @pl.when(r_slot + 1 < n_chunks)
+            def _():
+                in_dma((r_slot + 1) % 2, last_c - r_slot - 1).start()
+
+            slot = r_slot % 2
+            in_dma(slot, last_c - r_slot).wait()
+
+            @pl.when(r_slot >= 1)
+            def _():
+                out_dma(last_c - r_slot + 1).wait()
+
+            bb = frames(c, slot, bb)
+            out_dma(last_c - r_slot).start()
+            return bb
+
+        bb = bT
+        if n_chunks == 1:
+            run_chunk(last_c, 0, bb)
+        else:
+            bb = run_chunk(last_c, 0, bb)
+            jax.lax.fori_loop(
+                1, n_chunks,
+                lambda r, b2: run_chunk(last_c - r, r, b2), bb,
+            )
+        out_dma(0).wait()
+
+    pl.run_scoped(
+        body,
+        lp_buf=pltpu.VMEM((2, t_chunk, BR, LANES), jnp.float32),
+        be_buf=pltpu.VMEM((t_chunk, BR, LANES), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((1,)),
+    )
 
 
 def _ctc_vit_wide_fwd_kernel(
@@ -1057,6 +1256,47 @@ def ctc_lattice_forward(
     B, T, S = lp.shape
     Sp = _ceil_to(S, LANES)
     Tp = _ceil_to(T, _T_CHUNK)
+    if _use_wide(S, B) and ctc_wide_packed_supported(B, S):
+        # Batch-packed wide kernel: every row on one per-frame chain.
+        BR = B * (Sp // LANES)
+        R = Sp // LANES
+
+        def pack2(x, fill):
+            return _prep_wide(x, B, Sp, fill).reshape(BR, LANES)
+
+        lp_w = _lp_wide(lp, B, Sp, Tp)
+        lp_w = jnp.transpose(lp_w, (1, 0, 2, 3)).reshape(Tp, BR, LANES)
+        tt = jnp.broadcast_to(
+            jnp.repeat(
+                _pad_to(input_lengths.astype(jnp.float32), B, 0, 0.0), R
+            )[:, None],
+            (BR, LANES),
+        )
+        al = pl.pallas_call(
+            functools.partial(
+                _ctc_fwd_wide_packed_kernel, t_chunk=_T_CHUNK,
+                t_total=Tp, t_true=T, R=R,
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((Tp, BR, LANES), jnp.float32),
+            interpret=_use_interpret(),
+        )(
+            lp_w,
+            pack2(skip_add, _NEG),
+            pack2(vmask, _NEG),
+            pack2(a0, _NEG),
+            tt,
+        )
+        return (
+            al.reshape(Tp, B, Sp).transpose(1, 0, 2)[:, :T, :S]
+        )
     if _use_wide(S, B):
         R = Sp // LANES
         al = pl.pallas_call(
@@ -1138,6 +1378,47 @@ def ctc_lattice_backward(
     B, T, S = lp.shape
     Sp = _ceil_to(S, LANES)
     Tp = _ceil_to(T, _T_CHUNK)
+    if _use_wide(S, B) and ctc_wide_packed_supported(B, S):
+        BR = B * (Sp // LANES)
+        R = Sp // LANES
+        lp_next_w = jnp.concatenate([lp[:, 1:], lp[:, -1:]], axis=1)
+
+        def pack2(x, fill):
+            return _prep_wide(x, B, Sp, fill).reshape(BR, LANES)
+
+        lp_w = _lp_wide(lp_next_w, B, Sp, Tp)
+        lp_w = jnp.transpose(lp_w, (1, 0, 2, 3)).reshape(Tp, BR, LANES)
+        tt = jnp.broadcast_to(
+            jnp.repeat(
+                _pad_to(input_lengths.astype(jnp.float32), B, 0, 0.0), R
+            )[:, None],
+            (BR, LANES),
+        )
+        be = pl.pallas_call(
+            functools.partial(
+                _ctc_bwd_wide_packed_kernel, t_chunk=_T_CHUNK,
+                t_total=Tp, t_true=T, R=R,
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((Tp, BR, LANES), jnp.float32),
+            interpret=_use_interpret(),
+        )(
+            lp_w,
+            pack2(skip_fwd, _NEG),
+            pack2(vmask, _NEG),
+            pack2(bT, _NEG),
+            tt,
+        )
+        return (
+            be.reshape(Tp, B, Sp).transpose(1, 0, 2)[:, :T, :S]
+        )
     if _use_wide(S, B):
         R = Sp // LANES
         lp_next_w = jnp.concatenate([lp[:, 1:], lp[:, -1:]], axis=1)
