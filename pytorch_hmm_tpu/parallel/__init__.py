@@ -20,6 +20,7 @@ from .mesh import (
     replicated,
 )
 from .sharded import (
+    sharded_scoring_log_likelihood,
     sharded_forward_backward,
     sharded_log_likelihood,
     sharded_viterbi,
@@ -48,6 +49,7 @@ __all__ = [
     "replicated",
     "sharded_forward_backward",
     "sharded_log_likelihood",
+    "sharded_scoring_log_likelihood",
     "sharded_viterbi",
     "sharded_hsmm_forward",
     "sharded_hsmm_log_likelihood",

@@ -316,3 +316,48 @@ def test_ctc_viterbi_wide_matches_xla(B, T, C, U, seed):
     np.testing.assert_allclose(
         np.asarray(s_w), np.asarray(s_ref), atol=1e-4
     )
+
+
+def test_ctc_wide_packed_loss_mid_lattice(monkeypatch):
+    """The batch-packed wide LOSS kernels (r5: all rows on one
+    per-frame chain) at a mid lattice size with ragged lengths —
+    ll/alpha/beta parity vs the XLA scans."""
+    import pytorch_hmm_tpu.alignment.ctc as ctc_mod
+    from pytorch_hmm_tpu.ops.ctc_kernel import (
+        _use_wide, ctc_wide_packed_supported,
+    )
+
+    B, T, C, U = 3, 300, 30, 350   # S = 701 > 512 -> wide path
+    S = 2 * U + 1
+    assert _use_wide(S, B) and ctc_wide_packed_supported(B, S)
+    rng = np.random.default_rng(9)
+    log_probs = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(T, B, C)), jnp.float32), -1
+    )
+    tgt_lens = jnp.asarray([350, 222, 141], jnp.int32)
+    targets = jnp.asarray(rng.integers(1, C, (B, U)), jnp.int32)
+    in_lens = jnp.asarray([300, 288, 177], jnp.int32)
+
+    monkeypatch.setattr(ctc_mod, "_use_ctc_kernels", lambda s, b: False)
+    jax.clear_caches()
+    a_x, ll_x = ctc_forward_algorithm(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    monkeypatch.setattr(ctc_mod, "_use_ctc_kernels", lambda s, b: True)
+    jax.clear_caches()
+    a_k, ll_k = ctc_forward_algorithm(
+        log_probs, targets, in_lens, tgt_lens
+    )
+    jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(ll_k), np.asarray(ll_x), rtol=1e-4, atol=1e-3
+    )
+    m = (
+        (np.arange(S)[None, None, :]
+         < (2 * np.asarray(tgt_lens) + 1)[:, None, None])
+        & (np.arange(T)[None, :, None]
+           < np.asarray(in_lens)[:, None, None])
+    )
+    k, x = np.asarray(a_k), np.asarray(a_x)
+    sel = m & (x > -1e29)
+    np.testing.assert_allclose(k[sel], x[sel], atol=2e-3)

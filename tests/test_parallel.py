@@ -395,3 +395,33 @@ def test_sharded_fb_time_varying_ragged(tv_problem):
         np.testing.assert_allclose(
             np.asarray(lb)[b, :n], np.asarray(lb0)[0], atol=1e-4
         )
+
+
+def test_sharded_scoring_log_likelihood_bigk():
+    """Batch-DP big-K scoring: each device runs the MXU bigk kernel on
+    its shard; result matches the single-device core scan to scoring
+    tolerance (bf16 observation streaming)."""
+    from pytorch_hmm_tpu import core
+    from pytorch_hmm_tpu.ops.bigk import bigk_supported
+    from pytorch_hmm_tpu.parallel import (
+        make_mesh,
+        shard_batch,
+        sharded_scoring_log_likelihood,
+    )
+
+    mesh = make_mesh(data=8, time=1)
+    B, T, K = 16, 256, 192
+    assert bigk_supported(K, B // 8)
+    rng = np.random.default_rng(5)
+    lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    la = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(K, K)), jnp.float32), axis=-1
+    )
+    lpi = jnp.full((K,), -jnp.log(float(K)))
+    got = sharded_scoring_log_likelihood(
+        shard_batch(mesh, lo), la, lpi, mesh
+    )
+    ref = core.log_likelihood(lo, la, lpi)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=0.05, rtol=1e-3
+    )
