@@ -7,7 +7,8 @@ state counts where the per-frame combine is REAL matrix work:
 
     q_t = (q_{t-1} @ P) * e_t          (prob space, rescaled)
 
-with K up to 512, the (K, K) transition resident in VMEM and the
+with K up to 1024 (B ≤ 16 there; B ≤ 48 at K=512 — the VMEM gate
+decides), the (K, K) transition resident in VMEM and the
 (B, K) @ (K, K) per-frame dot running on the MXU at DEFAULT precision
 (one bf16 pass — the serving configuration). Design choices that set
 the MFU ceiling:
@@ -29,9 +30,10 @@ the MFU ceiling:
   deliverable (large-K scoring / likelihood serving), which frees the
   output half of the VMEM budget for batch rows.
 
-Measured on v5e-1 at (B=48, T=2048, K=512): 0.72 ms end-to-end =
-71.9 TFLOP/s = **36.5% MFU** (the kernel segment alone runs at ~80% of
-the chip's bf16 peak; the cast pass is the difference). Reference
+Measured on v5e-1 at (B=48, T=2048, K=512): 0.65 ms end-to-end =
+79 TFLOP/s = **40% MFU** in the committed bench runs (the kernel
+segment alone runs at ~80% of the chip's bf16 peak; the bf16 cast pass
+is the difference). Reference
 scale comparison: the reference benchmarks stop at 50 states in Python
 loops (``/root/reference/examples/benchmark.py:36-57``); its HMM
 forward at K=512 would run minutes per batch. ``bench.py`` reports
@@ -53,7 +55,7 @@ from .scan import LANES, _NEG, _ceil_to, _pad_to, _use_interpret
 
 __all__ = ["bigk_log_likelihood", "bigk_supported"]
 
-_MAX_K = 512
+_MAX_K = 1024
 _T_CHUNK = 128
 _RESCALE = 16
 _VMEM_BUDGET = 14 * 1024 * 1024

@@ -14,7 +14,7 @@ from pytorch_hmm_tpu.ops.bigk import bigk_log_likelihood, bigk_supported
 
 
 @pytest.mark.parametrize("B,T,K", [(8, 256, 256), (4, 128, 512),
-                                   (16, 384, 96)])
+                                   (16, 384, 96), (4, 128, 1024)])
 def test_bigk_matches_core(rng, B, T, K):
     lo = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
     la = jax.nn.log_softmax(
@@ -44,5 +44,7 @@ def test_bigk_off_grid_T_falls_back(rng):
 def test_bigk_supported_bounds():
     assert bigk_supported(512, 48)
     assert bigk_supported(256, 96)
-    assert not bigk_supported(513, 8)    # K cap
+    assert bigk_supported(1024, 16)      # r5: K cap raised, B<=16 there
+    assert not bigk_supported(1024, 24)  # VMEM at the big table
+    assert not bigk_supported(1025, 8)   # K cap
     assert not bigk_supported(512, 64)   # VMEM (obs double buffer)
