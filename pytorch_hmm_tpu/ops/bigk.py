@@ -44,7 +44,6 @@ this kernel's achieved FLOP/s and MFU next to the roofline fraction
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ Used by the GMM-HMM decode headline path (reference
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

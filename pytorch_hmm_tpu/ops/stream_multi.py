@@ -34,7 +34,6 @@ bit for bit. New capability — the reference has nothing batched here
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
