@@ -117,8 +117,7 @@ def _beam_multi_kernel(
     ).astype(jnp.float32)
     neg_inf = jnp.float32(-jnp.inf)
     real_rows = iota_w < float(beam_w)           # (1, W8, 1)
-    elig_row = iota_l < float(num_states)        # (1, 1, Sl) bool-ish
-    elig = iota_l < float(num_states)
+    elig = iota_l < float(num_states)            # (1, 1, Sl)
     # Pairwise "beats" geometry: sublanes index candidate state i,
     # lanes index state j (Sp = W8-padded state rows suffice? No — the
     # rank needs ALL states as candidates, so sublanes must cover
